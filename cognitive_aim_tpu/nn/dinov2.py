@@ -1,0 +1,236 @@
+"""DINOv2 ViT backbone, TPU-native.
+
+Re-implements the behavior of `transformers.Dinov2Model`
+(ref:src/model.py:805-814 selects facebook/dinov2-base (768-d) or -large
+(1024-d)) as pure functions over a parameter pytree:
+
+  * patch embedding as reshape + matmul (mathematically equal to the 14x14
+    stride-14 conv, but lowers to one big MXU matmul);
+  * bicubic position-embedding interpolation (HF semantics: half-pixel,
+    no antialias) via static resize matrices, so 224^2 (256 patches) and
+    518^2 (1370 patches) inputs both work against a 37x37 pretrained grid;
+  * pre-LN transformer blocks with LayerScale:
+        x = x + ls1 * MHSA(LN1(x));  x = x + ls2 * MLP(LN2(x))
+    softmax computed in f32 (matches HF eager attention);
+  * transformer layers stacked on a leading axis and driven by lax.scan —
+    one trace for all 12/24 layers (fast compile, XLA still pipelines);
+  * functional LoRA: the reference's LoRALayer (ref:src/model.py:13-30) is
+    broken & dead (calls undefined self.lora_projection, never invoked). Here
+    LoRA keeps the reference's parameter shapes (lora_A [r, D] x0.01-randn,
+    lora_B [D, r] zeros, scaling alpha/r, one adapter per backbone layer) but
+    is actually applied — to the attention output projection:
+        out = dense(ctx) + scaling * (ctx @ A.T) @ B.T
+  * attention can route through the Pallas flash-attention kernel
+    (kernels/flash_attention.py) via `attn_impl="pallas"`.
+
+Parity: tests/test_dinov2_parity.py transplants random torch Dinov2Model
+weights and checks outputs to ~1e-5 in f32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cognitive_aim_tpu.nn import init as tinit
+from cognitive_aim_tpu.nn import layers as L
+from cognitive_aim_tpu.nn.torch_interp import resize_weights
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoV2Config:
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    patch_size: int = 14
+    pretrain_image_size: int = 518  # position-embedding grid = 37x37
+    layer_norm_eps: float = 1e-6
+    layerscale_value: float = 1.0
+    use_lora: bool = False
+    lora_rank: int = 16
+    lora_alpha: int = 16
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_heads
+
+    @property
+    def num_pretrain_patches(self):
+        g = self.pretrain_image_size // self.patch_size
+        return g * g
+
+    @property
+    def mlp_dim(self):
+        return int(self.hidden_size * self.mlp_ratio)
+
+
+BASE = DinoV2Config(hidden_size=768, num_layers=12, num_heads=12)
+LARGE = DinoV2Config(hidden_size=1024, num_layers=24, num_heads=16)
+
+
+def config_for(backbone_size: str, **kw) -> DinoV2Config:
+    """Mirror of ref:src/model.py:803-812: 'base' -> 768-d, 'large' -> 1024-d,
+    anything else falls back to base."""
+    base = LARGE if backbone_size == "large" else BASE
+    return dataclasses.replace(base, **kw)
+
+
+# ------------------------------------------------------------------ init ----
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *trees)
+
+
+def init(key, cfg: DinoV2Config, dtype=jnp.float32):
+    D, Ld = cfg.hidden_size, cfg.num_layers
+    ks = jax.random.split(key, 6 + Ld)
+    patch_in = cfg.patch_size * cfg.patch_size * 3
+
+    def layer_init(k):
+        kk = jax.random.split(k, 8)
+        p = {
+            "norm1": L.layernorm_init(D, dtype),
+            "q": L.linear_init(kk[0], D, D, dtype),
+            "k": L.linear_init(kk[1], D, D, dtype),
+            "v": L.linear_init(kk[2], D, D, dtype),
+            "attn_out": L.linear_init(kk[3], D, D, dtype),
+            "ls1": jnp.full((D,), cfg.layerscale_value, dtype),
+            "norm2": L.layernorm_init(D, dtype),
+            "fc1": L.linear_init(kk[4], D, cfg.mlp_dim, dtype),
+            "fc2": L.linear_init(kk[5], cfg.mlp_dim, D, dtype),
+            "ls2": jnp.full((D,), cfg.layerscale_value, dtype),
+        }
+        if cfg.use_lora:
+            # reference shapes: lora_A [rank, in] * 0.01 randn, lora_B zeros
+            # (ref:src/model.py:23-24)
+            p["lora_A"] = 0.01 * jax.random.normal(kk[6], (cfg.lora_rank, D), dtype)
+            p["lora_B"] = jnp.zeros((D, cfg.lora_rank), dtype)
+        return p
+
+    params = {
+        "cls_token": jax.random.normal(ks[0], (1, 1, D), dtype),
+        "mask_token": jnp.zeros((1, D), dtype),
+        "pos_embed": jax.random.normal(
+            ks[1], (1, cfg.num_pretrain_patches + 1, D), dtype
+        ),
+        "patch_embed": {
+            "w": tinit.kaiming_uniform_linear(ks[2], patch_in, D, dtype),
+            "b": tinit.linear_bias_default(ks[3], patch_in, D, dtype),
+        },
+        "layers": _stack([layer_init(k) for k in ks[6:]]),
+        "final_norm": L.layernorm_init(D, dtype),
+    }
+    return params
+
+
+# ------------------------------------------------------------- pos embed ----
+def interpolate_pos_embed(pos_embed, cfg: DinoV2Config, grid_h: int, grid_w: int):
+    """HF Dinov2 bicubic interpolation of the patch position embeddings
+    (half-pixel, no antialias, computed in f32)."""
+    n_pos = pos_embed.shape[1] - 1
+    src = int(round(n_pos**0.5))
+    if grid_h * grid_w == n_pos and grid_h == grid_w:
+        return pos_embed
+    cls_pos = pos_embed[:, :1]
+    patch_pos = pos_embed[:, 1:].reshape(1, src, src, -1).astype(jnp.float32)
+    Wh = jnp.asarray(resize_weights(src, grid_h, "bicubic"))
+    Ww = jnp.asarray(resize_weights(src, grid_w, "bicubic"))
+    out = jnp.einsum("oh,bhwd->bowd", Wh, patch_pos)
+    out = jnp.einsum("pw,bowd->bopd", Ww, out)
+    out = out.reshape(1, grid_h * grid_w, -1).astype(pos_embed.dtype)
+    return jnp.concatenate([cls_pos, out], axis=1)
+
+
+# --------------------------------------------------------------- forward ----
+def patchify(images, patch: int):
+    """[B, H, W, 3] -> [B, (H/p)*(W/p), p*p*3], ordering identical to a
+    stride-p conv + flatten (channel-fastest within each patch to match the
+    torch conv weight layout after conversion)."""
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    x = images.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B gh gw p p C
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
+    B, N, D = x.shape
+    H, hd = cfg.num_heads, cfg.head_dim
+    q = L.linear_apply(p["q"], x).reshape(B, N, H, hd)
+    k = L.linear_apply(p["k"], x).reshape(B, N, H, hd)
+    v = L.linear_apply(p["v"], x).reshape(B, N, H, hd)
+    if attn_impl == "pallas":
+        from cognitive_aim_tpu.kernels.flash_attention import flash_attention
+
+        ctx = flash_attention(q, k, v, scale=hd**-0.5)
+    else:
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd**-0.5)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bqhd", probs, v)
+    ctx = ctx.reshape(B, N, D)
+    out = L.linear_apply(p["attn_out"], ctx)
+    if cfg.use_lora and "lora_A" in p:
+        scaling = cfg.lora_alpha / cfg.lora_rank
+        out = out + scaling * ((ctx @ p["lora_A"].T) @ p["lora_B"].T)
+    return out
+
+
+def _block(p, x, cfg: DinoV2Config, attn_impl: str):
+    h = L.layernorm_apply(p["norm1"], x, cfg.layer_norm_eps)
+    x = x + p["ls1"] * _mhsa(p, h, cfg, attn_impl)
+    h = L.layernorm_apply(p["norm2"], x, cfg.layer_norm_eps)
+    h = L.linear_apply(p["fc2"], L.gelu(L.linear_apply(p["fc1"], h)))
+    x = x + p["ls2"] * h
+    return x
+
+
+def apply(
+    params,
+    images,
+    cfg: DinoV2Config,
+    *,
+    compute_dtype=jnp.float32,
+    attn_impl: str = "xla",
+) -> jnp.ndarray:
+    """Forward pass.
+
+    Args:
+      images: [B, H, W, 3] normalized pixels (NHWC; the io layer converts
+        from the reference's NCHW convention).
+    Returns:
+      last_hidden_state [B, 1 + N, D] after the final layernorm, matching
+      Dinov2Model.forward().last_hidden_state (ref:src/model.py:973-975 reads
+      [:, 0] as CLS and [:, 1:] as patch tokens).
+    """
+    B, H, W, _ = images.shape
+    gh, gw = H // cfg.patch_size, W // cfg.patch_size
+
+    x = patchify(images.astype(compute_dtype), cfg.patch_size)
+    pe = params["patch_embed"]
+    x = x @ pe["w"].astype(compute_dtype) + pe["b"].astype(compute_dtype)
+
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(compute_dtype), (B, 1, cfg.hidden_size)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    pos = interpolate_pos_embed(params["pos_embed"], cfg, gh, gw)
+    x = x + pos.astype(compute_dtype)
+
+    layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
+
+    def body(carry, layer_params):
+        return _block(layer_params, carry, cfg, attn_impl), None
+
+    x, _ = jax.lax.scan(body, x, layers)
+    x = L.layernorm_apply(
+        jax.tree.map(lambda a: a.astype(compute_dtype), params["final_norm"]),
+        x,
+        cfg.layer_norm_eps,
+    )
+    return x

@@ -1,0 +1,36 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh so
+multi-chip sharding is exercised without real TPUs (SURVEY.md §4 tier 4)."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# Parity tests compare against torch f32; JAX's DEFAULT matmul precision is
+# bf16-like on both the oneDNN CPU backend and TPU, so pin full precision here.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def import_reference_model():
+    """Import the reference's src.model for golden-parity tests (running the
+    public reference code in tests; nothing is copied into this repo)."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import importlib
+
+    return importlib.import_module("src.model")
