@@ -1,0 +1,302 @@
+"""CognitiveAimModel — the full cognitive depth-estimation pipeline, TPU-native.
+
+One jitted forward computes everything exactly once, replacing the
+reference's redundant control flow (`forward` re-runs the backbone up to 3x
+and the focal stream up to 4x per image purely to stash attention weights —
+ref:src/model.py:1064-1155; eval outputs are unchanged by computing each
+sub-result once). Guidance is a static instruction index into a precomputed
+[9, N] mask table instead of per-call Python loops. Attention maps are
+explicit return values, not module attributes (the reference's
+`_last_attention_weights` implicit-state pattern, ref:src/model.py:1211,
+cleared externally at ref:demo.py:333-335).
+
+Deliberate fixes of reference accidents (SURVEY.md §7 "hard parts"), each
+config-gated or documented:
+  * guided projection: with the shipped IterativeFocalStream the reference
+    reaches the `temp_projection` fallback that creates a FRESH RANDOM
+    Linear(768, 64) on every call (ref:src/model.py:1417-1422), so guided
+    depths are untrained noise that changes run to run. Here the equivalent
+    projection is a persistent parameter (`guided_projection`) with the same
+    torch-default init — deterministic, trainable, same distribution at init.
+    With a single (non-iterative) FocalStream the reference uses the stream's
+    trained projection (ref:1417-1418) and so do we.
+  * missing-module guided fusion: when fewer than 3 streams are enabled the
+    reference's guided path crashes on the 192-dim fusion matmul and silently
+    falls back to UNGUIDED forward (ref:src/model.py:1237-1240). Here the
+    concat is zero-padded to 192 (like the unguided path, ref:1031-1040) and
+    guidance is kept.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cognitive_aim_tpu.core.precision import DEFAULT_POLICY, Policy
+from cognitive_aim_tpu.core.rng import NoiseMode
+from cognitive_aim_tpu.models import curiosity as C
+from cognitive_aim_tpu.models import guidance as G
+from cognitive_aim_tpu.models import streams as S
+from cognitive_aim_tpu.models.config import ModelArchConfig
+from cognitive_aim_tpu.nn import dinov2
+from cognitive_aim_tpu.nn import init as tinit
+from cognitive_aim_tpu.nn import layers as L
+
+
+@dataclasses.dataclass
+class ModelOutput:
+    depth: jnp.ndarray  # [B, 1] Softplus — positive depth (ref:925-928)
+    confidence: jnp.ndarray  # [B, 1] Sigmoid (ref:936-941)
+    attention: Optional[jnp.ndarray]  # [B, N] per-patch attention or None
+    curiosity: Optional[jnp.ndarray]  # [B] curiosity reward
+    fused_features: jnp.ndarray  # [B, 192] post-fusion features
+    aux: Dict[str, Any]
+
+
+jax.tree_util.register_dataclass(
+    ModelOutput,
+    data_fields=["depth", "confidence", "attention", "curiosity", "fused_features", "aux"],
+    meta_fields=[],
+)
+
+
+class CognitiveAimModel:
+    """Holds static architecture config; parameters live in an explicit
+    pytree (init() -> params, apply(params, ...) -> ModelOutput)."""
+
+    def __init__(
+        self,
+        arch: ModelArchConfig,
+        policy: Policy = DEFAULT_POLICY,
+        attn_impl: str = "xla",
+    ):
+        self.arch = arch
+        self.policy = policy
+        self.attn_impl = attn_impl
+        self.vit_cfg = dinov2.config_for(
+            arch.backbone_size, use_lora=arch.use_lora, lora_rank=arch.lora_rank
+        )
+        self.exploration_history = C.ExplorationHistory()
+
+    # ------------------------------------------------------------- init ----
+    def init(self, key) -> Dict:
+        a = self.arch
+        D = a.feature_dim
+        ks = jax.random.split(key, 10)
+        params: Dict[str, Any] = {
+            "backbone": dinov2.init(ks[0], self.vit_cfg),
+        }
+        if a.use_ambient:
+            params["ambient_stream"] = S.ambient_init(ks[1], D)
+        if a.use_focal:
+            if a.use_iterative:
+                params["focal_stream"] = S.iterative_focal_init(
+                    ks[2], D, a.focal_hidden_dim, a.num_iterations, a.curiosity_guided
+                )
+                # persistent replacement for the per-call fresh Linear
+                # fallback (ref:src/model.py:1419-1422); torch-default init
+                kw, kb = jax.random.split(ks[3])
+                params["guided_projection"] = {
+                    "w": tinit.kaiming_uniform_linear(kw, D, 64),
+                    "b": tinit.linear_bias_default(kb, D, 64),
+                }
+            else:
+                params["focal_stream"] = S.focal_init(
+                    ks[2], D, a.focal_hidden_dim, 8, a.curiosity_guided
+                )
+        if a.use_exif:
+            params["exif_prior"] = S.exif_prior_init(ks[4], a.num_cameras)
+        if a.use_curiosity:
+            # always 768-dim target_fusion_dim, hidden 256 (ref:948-952)
+            params["curiosity_module"] = C.curiosity_init(
+                ks[5], 768 if a.backbone_size != "large" else D, 256,
+                a.enable_hierarchical_curiosity,
+            )
+        # fusion Linear(192,192) torch-default (ref:908-912)
+        params["fusion"] = {"fc0": L.linear_init(ks[6], a.fusion_dim, a.fusion_dim)}
+        # decision head: xavier_uniform gain 1.0, bias 1.0 (ref:930-933)
+        kdw, _ = jax.random.split(ks[7])
+        params["decision_head"] = {
+            "fc0": {
+                "w": tinit.xavier_uniform(kdw, a.fusion_dim, 1, 1.0),
+                "b": jnp.ones((1,), jnp.float32),
+            }
+        }
+        # confidence head: default inits except final bias = 2.0 (ref:936-945)
+        kc0, kc1 = jax.random.split(ks[8])
+        conf = {
+            "fc0": L.linear_init(kc0, a.fusion_dim, 1),
+            "fc1": L.linear_init(kc1, 1, 1),
+        }
+        conf["fc1"]["b"] = jnp.full((1,), 2.0, jnp.float32)
+        params["confidence_head"] = conf
+        return params
+
+    # ------------------------------------------------------------ apply ----
+    def apply(
+        self,
+        params: Dict,
+        images: jnp.ndarray,
+        exif_data: Optional[Dict[str, jnp.ndarray]] = None,
+        *,
+        guidance: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+        train: bool = False,
+        noise_mode: NoiseMode = NoiseMode.SAMPLE,
+    ) -> ModelOutput:
+        """Unified forward. `guidance` is a static instruction index
+        (guidance.INSTRUCTIONS order) or None for the unguided path — the
+        two reference entry points `forward` (ref:1064) and
+        `forward_with_guidance` (ref:1157) collapse into this one function.
+
+        images: [B, H, W, 3] normalized NHWC. exif_data: dict of [B] arrays
+        ('camera_idx' int; 'focal_length'/'aperture'/'iso' float, raw units
+        on the demo path per ref:demo.py:263-268).
+        """
+        a = self.arch
+        hs = dinov2.apply(
+            params["backbone"], images, self.vit_cfg,
+            compute_dtype=self.policy.backbone_compute_dtype,
+            attn_impl=self.attn_impl,
+        ).astype(jnp.float32)
+        cls_token = hs[:, 0]
+        patches = hs[:, 1:]
+        B, N, D = patches.shape
+        aux: Dict[str, Any] = {}
+
+        rngs = {}
+        if rng is not None:
+            for i, name in enumerate(("curiosity", "focal", "dropout")):
+                rngs[name] = jax.random.fold_in(rng, i)
+
+        with jax.default_matmul_precision("highest"):
+            # curiosity score from CLS features; exif NOT passed here —
+            # matches ref:1185 (geometric term sees exif only in the training
+            # loss path, ref:1432-1454)
+            if a.use_curiosity:
+                reward, _, comps = C.curiosity_apply(
+                    params["curiosity_module"], cls_token,
+                    rng=rngs.get("curiosity"), train=train, noise_mode=noise_mode,
+                )
+                curiosity_score = reward
+                aux["curiosity_components"] = comps
+            else:
+                # ref default when module missing (ref:1003-1005)
+                curiosity_score = jnp.full((B,), 0.5, jnp.float32)
+                reward = curiosity_score
+
+            raw_feats = []
+            attention = None
+            if a.use_ambient:
+                raw_feats.append(
+                    S.ambient_apply(
+                        params["ambient_stream"], cls_token,
+                        rng=rngs.get("dropout"), train=train,
+                    )
+                )
+
+            if a.use_focal:
+                focal_feats, attention, entropy = self._focal(
+                    params, patches, curiosity_score, guidance,
+                    rng=rngs.get("focal"), train=train, noise_mode=noise_mode,
+                )
+                raw_feats.append(focal_feats)
+                aux["attention_entropy"] = entropy
+
+            if a.use_exif and exif_data is not None:
+                raw_feats.append(
+                    S.exif_prior_apply(
+                        params["exif_prior"], exif_data,
+                        rng=rngs.get("dropout"), train=train,
+                    )
+                )
+
+            if not raw_feats:
+                raise RuntimeError("Cognitive modules returned no features!")
+            concat = jnp.concatenate(raw_feats, axis=1)
+            if concat.shape[1] < a.fusion_dim:  # zero-pad (ref:1031-1040)
+                pad = jnp.zeros((B, a.fusion_dim - concat.shape[1]), concat.dtype)
+                concat = jnp.concatenate([concat, pad], axis=1)
+
+            fused = jax.nn.relu(L.linear_apply(params["fusion"]["fc0"], concat))
+            if train and rng is not None:
+                fused = L.dropout(jax.random.fold_in(rng, 99), fused, 0.1)
+
+            depth = jax.nn.softplus(
+                L.linear_apply(params["decision_head"]["fc0"], fused)
+            )
+            c = jax.nn.relu(L.linear_apply(params["confidence_head"]["fc0"], fused))
+            confidence = jax.nn.sigmoid(
+                L.linear_apply(params["confidence_head"]["fc1"], c)
+            )
+
+        return ModelOutput(
+            depth=depth,
+            confidence=confidence,
+            attention=attention,
+            curiosity=reward,
+            fused_features=fused,
+            aux=aux,
+        )
+
+    # ------------------------------------------------------------ focal ----
+    def _focal(self, params, patches, curiosity_score, guidance, *, rng, train,
+               noise_mode):
+        a = self.arch
+        cd = self.policy.backbone_compute_dtype if not train else jnp.float32
+        run = patches  # focal streams run in f32 under highest precision here
+        if a.use_iterative:
+            feats, attn, entropy = S.iterative_focal_apply(
+                params["focal_stream"], run, curiosity_score,
+                focus_strength=a.focus_strength,
+                curiosity_guided=a.curiosity_guided,
+                rng=rng, train=train, noise_mode=noise_mode,
+            )
+        else:
+            feats, attn, entropy = S.focal_apply(
+                params["focal_stream"], run, curiosity_score,
+                curiosity_guided=a.curiosity_guided,
+                rng=rng, train=train, noise_mode=noise_mode,
+            )
+        if guidance is None:
+            return feats, attn, entropy
+
+        # guided blend (ref:1400-1414): 0.7*mask + 0.3*base_attention,
+        # temperature-0.05 softmax, re-pool the ORIGINAL patch tokens
+        N = patches.shape[1]
+        g = int(N**0.5)
+        gvec = G.mask_table(g, N)[guidance][None]  # [1, N]
+        guided = 0.7 * gvec + 0.3 * attn
+        guided = jax.nn.softmax(guided / 0.05, axis=-1)
+        weighted = (patches * guided[..., None]).sum(axis=1)
+        if a.use_iterative:
+            gfeats = L.linear_apply(params["guided_projection"], weighted)
+        else:
+            gfeats = L.mlp_apply(
+                params["focal_stream"]["projection"], weighted,
+                dropout_rate=0.1, dropout_after=(0,), rng=rng, train=train,
+            )
+        return gfeats, guided, entropy
+
+    # --------------------------------------------------------- training ----
+    def compute_curiosity_loss(
+        self, params, features, exif_data=None, *, loss_type="robust",
+        uncertainty_weight=0.1, rng=None, noise_mode=NoiseMode.SAMPLE,
+    ):
+        """ref:src/model.py:1432-1454 — curiosity over fused/backbone features
+        WITH exif (geometric term active)."""
+        reward, _, comps = C.curiosity_apply(
+            params["curiosity_module"], features, exif_data,
+            loss_type=loss_type, uncertainty_weight=uncertainty_weight,
+            rng=rng, noise_mode=noise_mode,
+        )
+        return reward, comps
+
+    def get_exploration_stats(self):
+        return self.exploration_history.statistics()
+
+    def record_exploration(self, rewards):
+        self.exploration_history.update(rewards)

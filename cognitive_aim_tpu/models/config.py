@@ -1,0 +1,180 @@
+"""Config system: one typed resolver that accepts the shipped YAMLs verbatim.
+
+The reference has *two half-schemas* (SURVEY.md §5): the YAMLs nest most
+hyperparameters under `model:`, but `CognitiveAimModel.__init__` reads them
+from the TOP level with defaults (ref:src/model.py:803 `backbone_size`,
+:817 `freeze_backbone` default True, :822 `use_lora` default False,
+:854 `curiosity_guided_attention.enabled` — note the key is 'enabled' while
+every YAML writes 'enable', so it is ALWAYS False in the reference —
+:855/:860-862 `focal_config` with defaults num_iterations=3,
+focus_strength=1.5). Only `cognitive_modules` gets the two-level lookup
+(ref:src/model.py:834-836). Consequence: for every shipped YAML the reference
+instantiates the *defaults* (frozen base backbone, no active LoRA,
+3-iteration focal, no curiosity-guided attention).
+
+`resolve_model_config(raw, lookup=...)` supports:
+  * "reference" (default): byte-faithful reproduction of those lookups, so a
+    given YAML yields the same architecture the reference would build;
+  * "nested": additionally falls back to `model.*` for each key — what the
+    YAML authors evidently intended (6-iteration focal etc.).
+
+Extension over the reference: the eval_configs' ablation toggles
+(`model.enable_ambient_stream` / `enable_focal_stream` / `enable_exif_prior`
+/ `enable_curiosity_driven`) are read by NO reference code (dead config
+surface). Here they are honored by default (`honor_ablation_toggles=True`)
+so the ablation sweep in BASELINE.json is actually an ablation; pass False
+for strict reference behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Optional, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelArchConfig:
+    backbone_size: str = "base"
+    freeze_backbone: bool = True
+    use_lora: bool = False
+    lora_rank: int = 16
+    use_ambient: bool = True
+    use_focal: bool = True
+    use_iterative: bool = True
+    use_exif: bool = True
+    use_curiosity: bool = True
+    num_iterations: int = 3
+    focus_strength: float = 1.5
+    focal_hidden_dim: int = 256
+    curiosity_guided: bool = False
+    attention_dropout: float = 0.1  # recorded; FocalStream hardcodes p=0 (ref:70)
+    enable_hierarchical_curiosity: bool = True
+    num_cameras: int = 71
+    image_size: int = 224
+
+    @property
+    def feature_dim(self) -> int:
+        return 1024 if self.backbone_size == "large" else 768
+
+    @property
+    def fusion_dim(self) -> int:
+        return 192  # hardcoded checkpoint fusion dim (ref:src/model.py:904)
+
+    @property
+    def n_streams(self) -> int:
+        return int(self.use_ambient) + int(self.use_focal) + int(self.use_exif)
+
+
+def _get(raw: Mapping, key: str, default, lookup: str):
+    """reference: top-level only; nested: top-level, then model.*"""
+    if key in raw:
+        return raw[key]
+    if lookup == "nested" and key in raw.get("model", {}):
+        return raw["model"][key]
+    return default
+
+
+def resolve_num_cameras(raw: Mapping, default: int = 71) -> int:
+    """demo.py's resolution order (ref:demo.py:57-65)."""
+    if "exif_config" in raw:
+        return raw["exif_config"].get("num_cameras", default)
+    if "exif_config" in raw.get("model", {}):
+        return raw["model"]["exif_config"].get("num_cameras", default)
+    return default
+
+
+def resolve_image_size(raw: Mapping, default: int = 224) -> int:
+    """ref:demo.py:154-160: int / [s] / [h, w] all accepted."""
+    size = raw.get("dataset", {}).get("image_size", default)
+    if isinstance(size, int):
+        return size
+    if isinstance(size, Sequence):
+        return int(size[0])
+    return default
+
+
+DEFAULT_COGNITIVE_MODULES = (
+    # demo.py's injected default (ref:demo.py:48-52)
+    "ambient_stream",
+    "iterative_focal_stream",
+    "exif_prior_database",
+)
+
+
+def resolve_model_config(
+    raw: Mapping[str, Any],
+    camera_info: Optional[Mapping] = None,
+    *,
+    lookup: str = "reference",
+    honor_ablation_toggles: bool = True,
+    inject_default_modules: bool = True,
+) -> ModelArchConfig:
+    model_cfg = raw.get("model", {})
+    modules = list(
+        model_cfg.get("cognitive_modules", raw.get("cognitive_modules", []))
+    )
+    if not modules and inject_default_modules:
+        modules = list(DEFAULT_COGNITIVE_MODULES)
+
+    use_ambient = "ambient_stream" in modules
+    use_iterative = "iterative_focal_stream" in modules
+    use_focal = use_iterative or ("focal_stream" in modules)
+
+    camera_given = camera_info is not None or "exif_prior_database" not in modules
+    if camera_info is None:
+        # demo.py builds camera_info whenever the module is listed
+        # (ref:demo.py:57-65); default when caller passes none.
+        num_cameras = resolve_num_cameras(raw)
+        camera_given = True
+    else:
+        num_cameras = int(camera_info.get("num_cameras", 71))
+    use_exif = ("exif_prior_database" in modules) and camera_given
+
+    use_curiosity = True  # always constructed (ref:src/model.py:948-953)
+    use_lora = bool(_get(raw, "use_lora", False, lookup))
+    freeze = bool(_get(raw, "freeze_backbone", True, lookup))
+
+    cga = _get(raw, "curiosity_guided_attention", {}, lookup) or {}
+    if lookup == "reference":
+        curiosity_guided = bool(cga.get("enabled", False))  # ref:854 typo kept
+    else:
+        curiosity_guided = bool(cga.get("enabled", cga.get("enable", False)))
+
+    focal_cfg = _get(raw, "focal_config", {}, lookup) or {}
+
+    if honor_ablation_toggles:
+        mt = model_cfg
+        if "enable_ambient_stream" in mt:
+            use_ambient = use_ambient and bool(mt["enable_ambient_stream"])
+        if "enable_focal_stream" in mt:
+            focal_on = bool(mt["enable_focal_stream"])
+            use_focal = use_focal and focal_on
+            use_iterative = use_iterative and focal_on
+        if "enable_exif_prior" in mt:
+            use_exif = use_exif and bool(mt["enable_exif_prior"])
+        if "enable_curiosity_driven" in mt:
+            use_curiosity = bool(mt["enable_curiosity_driven"])
+        if "use_lora" in mt and lookup == "nested":
+            use_lora = bool(mt["use_lora"])
+
+    return ModelArchConfig(
+        backbone_size=str(_get(raw, "backbone_size", "base", lookup)),
+        freeze_backbone=freeze,
+        use_lora=use_lora,
+        lora_rank=int(_get(raw, "lora_rank", 16, lookup)),
+        use_ambient=use_ambient,
+        use_focal=use_focal,
+        use_iterative=use_iterative,
+        use_exif=use_exif,
+        use_curiosity=use_curiosity,
+        num_iterations=int(focal_cfg.get("num_iterations", 3)),
+        focus_strength=float(focal_cfg.get("focus_strength", 1.5)),
+        focal_hidden_dim=int(_get(raw, "focal_hidden_dim", 256, lookup)),
+        curiosity_guided=curiosity_guided,
+        attention_dropout=float(cga.get("attention_dropout", 0.1)),
+        enable_hierarchical_curiosity=bool(
+            _get(raw, "enable_hierarchical_curiosity", True, lookup)
+        ),
+        num_cameras=num_cameras,
+        image_size=resolve_image_size(raw),
+    )

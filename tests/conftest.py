@@ -28,7 +28,28 @@ def reference_available() -> bool:
 
 def import_reference_model():
     """Import the reference's src.model for golden-parity tests (running the
-    public reference code in tests; nothing is copied into this repo)."""
+    public reference code in tests; nothing is copied into this repo).
+
+    torchvision is not installed in this image; the reference's src package
+    imports it transitively (src/__init__.py -> src/dataset.py), so a minimal
+    stub is injected — src/model.py itself never uses it."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        import importlib.machinery
+
+        tv = types.ModuleType("torchvision")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
+        tv.__version__ = "0.0.0-stub"
+        tr = types.ModuleType("torchvision.transforms")
+        for name in ("Compose", "Resize", "ToTensor", "Normalize",
+                     "ColorJitter", "RandomHorizontalFlip"):
+            setattr(tr, name, type(name, (), {"__init__": lambda self, *a, **k: None}))
+        tr.functional = types.ModuleType("torchvision.transforms.functional")
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+        sys.modules["torchvision.transforms.functional"] = tr.functional
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import importlib
