@@ -1,0 +1,321 @@
+"""Inference engine — the `CognitiveAimInference` public surface
+(ref:demo.py:26-600), TPU-native.
+
+Differences by design:
+  * one jitted forward per (batch shape, guided/unguided); the guidance
+    instruction is a traced index, so all 9 instructions share one compiled
+    graph and can be batched in a single device call
+    (`predict_all_instructions` replaces running demo.py nine times for the
+    nine-grid figure, ref:create_nine_grid_demo.py);
+  * attention is an explicit model output (no `_last_attention_weights`
+    clearing dance, ref:demo.py:333-335);
+  * checkpoints: torch .pth via the converter (same tolerant-loading
+    semantics) or native .npz/orbax.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from cognitive_aim_tpu.core.precision import policy_from_name
+from cognitive_aim_tpu.core.rng import NoiseMode
+from cognitive_aim_tpu.io import checkpoint_torch as ct
+from cognitive_aim_tpu.io import exif as exif_io
+from cognitive_aim_tpu.io.preprocess import (
+    load_image_uint8,
+    normalize_np,
+    pil_resize_host,
+)
+from cognitive_aim_tpu.models import guidance as G
+from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+from cognitive_aim_tpu.models.config import resolve_model_config
+from cognitive_aim_tpu.utils.visualize import save_prediction_image
+
+
+class CognitiveAimInference:
+    def __init__(
+        self,
+        config_path: str,
+        checkpoint_path: Optional[str] = None,
+        device: str = "auto",
+        *,
+        lookup: str = "reference",
+        policy: str = "default",
+        attn_impl: str = "xla",
+        seed: int = 0,
+        noise_mode: str = "sample",
+        save_images: bool = True,
+        output_dir: str = "demo_results",
+    ):
+        with open(config_path, "r", encoding="utf-8") as f:
+            self.config = yaml.safe_load(f)
+
+        # demo.py's default module injection (ref:demo.py:46-53)
+        if "cognitive_modules" not in self.config and "cognitive_modules" not in self.config.get("model", {}):
+            self.config["cognitive_modules"] = [
+                "ambient_stream",
+                "iterative_focal_stream",
+                "exif_prior_database",
+            ]
+
+        self.arch = resolve_model_config(self.config, lookup=lookup)
+        self.model = CognitiveAimModel(
+            self.arch, policy=policy_from_name(policy), attn_impl=attn_impl
+        )
+        self.noise_mode = NoiseMode(noise_mode)
+        self.save_images = save_images
+        self.output_dir = output_dir
+        self.image_size = self.arch.image_size
+        self.camera_to_id = {"unknown": 0}  # ref:demo.py:85
+        self._rng = jax.random.PRNGKey(seed)
+
+        self.params = self.model.init(jax.random.PRNGKey(seed))
+        if checkpoint_path:
+            self.load_checkpoint(checkpoint_path)
+
+        self._unguided = jax.jit(
+            lambda p, x, e, k: self.model.apply(
+                p, x, e, rng=k, noise_mode=self.noise_mode
+            )
+        )
+        self._guided = jax.jit(
+            lambda p, x, e, g, k: self.model.apply(
+                p, x, e, guidance=g, rng=k, noise_mode=self.noise_mode
+            )
+        )
+
+    # -------------------------------------------------------- checkpoint ----
+    def load_checkpoint(self, path: str):
+        """Tolerant loading: torch containers (model_state_dict / main_model /
+        raw) with shape filtering, or a native .npz flat pytree. Continues on
+        random init if the file cannot be read (ref:demo.py:148-150)."""
+        try:
+            if path.endswith((".npz", ".npy")):
+                incoming = unflatten_npz(np.load(path))
+            else:
+                sd = ct.load_torch_file(path)
+                incoming = self._convert_state_dict(sd)
+            self.params, loaded, skipped = ct.filter_and_merge(self.params, incoming)
+            print(f"Loaded checkpoint {path}: {loaded} tensors, {skipped} skipped")
+        except Exception as e:  # ref keeps random weights on failure
+            print(f"Error loading checkpoint: {e}")
+            print("Continuing with randomly initialized weights...")
+
+    def _convert_state_dict(self, sd) -> Dict:
+        a = self.arch
+        out: Dict = {}
+        try:
+            out["backbone"] = ct.convert_backbone(sd, "backbone.")
+        except KeyError:
+            pass
+        cvt = {
+            "ambient_stream": (a.use_ambient, lambda: ct.convert_ambient(sd)),
+            "focal_stream": (
+                a.use_focal,
+                lambda: ct.convert_iterative_focal(sd)
+                if a.use_iterative
+                else ct.convert_focal_stream(sd, "focal_stream"),
+            ),
+            "exif_prior": (a.use_exif, lambda: ct.convert_exif_prior(sd)),
+            "curiosity_module": (a.use_curiosity, lambda: ct.convert_curiosity(sd)),
+        }
+        for name, (enabled, fn) in cvt.items():
+            if enabled:
+                try:
+                    out[name] = fn()
+                except KeyError:
+                    pass
+        try:
+            out.update(ct.convert_heads(sd))
+        except KeyError:
+            pass
+        return out
+
+    def save_native_checkpoint(self, path: str):
+        np.savez(path, **flatten_tree(self.params))
+
+    # ---------------------------------------------------------- predict ----
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _prep_image(self, image_path: str):
+        u8 = load_image_uint8(image_path)
+        img = normalize_np(pil_resize_host(u8, self.image_size, self.image_size))
+        return img[None].astype(np.float32), u8.shape[:2]
+
+    def predict(
+        self, image_path: str, instruction: Optional[str] = None
+    ) -> Tuple[float, float, Dict]:
+        """Single-image pipeline (ref:demo.py:298-404). Returns
+        (depth, confidence, metadata)."""
+        images, original_size = self._prep_image(image_path)
+        exif_raw = exif_io.extract_exif(image_path)
+        exif_arr = exif_io.exif_arrays_for_model(exif_raw, self.camera_to_id)
+        exif_j = {k: jnp.asarray(v) for k, v in exif_arr.items()}
+
+        if instruction is not None:
+            gi = G.instruction_index(instruction)
+            out = self._guided(
+                self.params, jnp.asarray(images), exif_j,
+                jnp.asarray(gi, jnp.int32), self._next_key(),
+            )
+        else:
+            out = self._unguided(
+                self.params, jnp.asarray(images), exif_j, self._next_key()
+            )
+
+        depth = float(np.asarray(out.depth).squeeze())
+        confidence = float(np.asarray(out.confidence).squeeze())
+        attention = (
+            np.asarray(out.attention[0]) if out.attention is not None else None
+        )
+        if self.arch.use_curiosity and out.curiosity is not None:
+            self.model.record_exploration(np.asarray(out.curiosity))
+
+        if self.save_images:
+            save_prediction_image(
+                images[0], depth, confidence, attention, instruction, image_path,
+                self.output_dir,
+            )
+
+        metadata = {
+            "image_path": image_path,
+            "original_size": tuple(int(v) for v in original_size[::-1]),
+            "processed_size": (self.image_size, self.image_size),
+            "exif_available": exif_raw is not None,
+            "exif_source": "real" if exif_raw is not None else "default",
+            "instruction": instruction,
+            "cognitive_modules": self.config.get(
+                "cognitive_modules",
+                self.config.get("model", {}).get("cognitive_modules", []),
+            ),
+            "model_status": {
+                "ambient": self.arch.use_ambient,
+                "focal": self.arch.use_focal,
+                "exif": self.arch.use_exif,
+            },
+            "exif_data": exif_raw
+            or {
+                "FocalLength": 50.0,
+                "FNumber": 2.8,
+                "ISOSpeedRatings": 100,
+                "Model": "Default",
+                "Make": "Default",
+            },
+        }
+        return depth, confidence, metadata
+
+    def predict_batch(
+        self, image_paths: List[str], instructions: Optional[List[Optional[str]]] = None
+    ) -> List[Tuple]:
+        """ref:demo.py:406-432 surface; error entries mirror the reference's
+        (None, None, {'error': ...}) tuples."""
+        if instructions is None:
+            instructions = [None] * len(image_paths)
+        elif len(instructions) != len(image_paths):
+            raise ValueError("Number of instructions must match number of images")
+        results = []
+        for path, instr in zip(image_paths, instructions):
+            try:
+                results.append(self.predict(path, instr))
+            except Exception as e:
+                results.append((None, None, {"error": str(e)}))
+        return results
+
+    def predict_all_instructions(self, image_path: str) -> Dict[str, Tuple[float, float]]:
+        """All 9 instructions in ONE batched device call (the TPU-native
+        nine-grid path). Returns {instruction: (depth, confidence)} and writes
+        the 9 prediction PNGs."""
+        images, _ = self._prep_image(image_path)
+        n = len(G.INSTRUCTIONS)
+        batch = jnp.asarray(np.repeat(images, n, axis=0))
+        exif_raw = exif_io.extract_exif(image_path)
+        exif_one = exif_io.exif_arrays_for_model(exif_raw, self.camera_to_id)
+        exif_j = {k: jnp.asarray(np.repeat(v, n, axis=0)) for k, v in exif_one.items()}
+        out = self._guided(
+            self.params, batch, exif_j, jnp.arange(n, dtype=jnp.int32),
+            self._next_key(),
+        )
+        depths = np.asarray(out.depth).squeeze(-1)
+        confs = np.asarray(out.confidence).squeeze(-1)
+        attn = np.asarray(out.attention)
+        results = {}
+        for i, name in enumerate(G.INSTRUCTIONS):
+            results[name] = (float(depths[i]), float(confs[i]))
+            if self.save_images:
+                save_prediction_image(
+                    images[0], float(depths[i]), float(confs[i]), attn[i], name,
+                    image_path, self.output_dir,
+                )
+        return results
+
+    # ------------------------------------------------------------- misc ----
+    def save_results(self, results: List[Tuple], output_path: str):
+        """JSON writer with fraction handling (ref:demo.py:434-469)."""
+
+        def make_serializable(obj):
+            if hasattr(obj, "numerator") and hasattr(obj, "denominator"):
+                return float(obj.numerator) / float(obj.denominator)
+            if isinstance(obj, dict):
+                return {k: make_serializable(v) for k, v in obj.items()}
+            if isinstance(obj, (list, tuple)):
+                return [make_serializable(v) for v in obj]
+            try:
+                json.dumps(obj)
+                return obj
+            except (TypeError, ValueError):
+                return str(obj)
+
+        serializable = [
+            {
+                "depth_value": float(d) if d is not None else None,
+                "confidence_score": float(c) if c is not None else None,
+                "metadata": make_serializable(m),
+            }
+            for d, c, m in results
+        ]
+        with open(output_path, "w", encoding="utf-8") as f:
+            json.dump(serializable, f, indent=2, ensure_ascii=False)
+        print(f"Results saved to: {output_path}")
+
+    def get_exploration_stats(self):
+        return self.model.get_exploration_stats()
+
+
+# ------------------------------------------------------- flat npz pytrees ---
+def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
+    flat = {}
+    paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in paths:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def unflatten_npz(npz) -> Dict:
+    """Rebuild a nested dict-of-dicts (lists become int-keyed dicts, which
+    filter_and_merge matches by path)."""
+    tree: Dict = {}
+    for key in npz.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = npz[key]
+    return _intify_lists(tree)
+
+
+def _intify_lists(node):
+    if isinstance(node, dict):
+        if node and all(k.isdigit() for k in node):
+            return [_intify_lists(node[k]) for k in sorted(node, key=int)]
+        return {k: _intify_lists(v) for k, v in node.items()}
+    return node

@@ -142,15 +142,18 @@ class CognitiveAimModel:
         images: jnp.ndarray,
         exif_data: Optional[Dict[str, jnp.ndarray]] = None,
         *,
-        guidance: Optional[int] = None,
+        guidance: Optional[Any] = None,
         rng: Optional[jax.Array] = None,
         train: bool = False,
         noise_mode: NoiseMode = NoiseMode.SAMPLE,
     ) -> ModelOutput:
-        """Unified forward. `guidance` is a static instruction index
-        (guidance.INSTRUCTIONS order) or None for the unguided path — the
-        two reference entry points `forward` (ref:1064) and
-        `forward_with_guidance` (ref:1157) collapse into this one function.
+        """Unified forward. `guidance` is None for the unguided path, or an
+        instruction index (guidance.INSTRUCTIONS order) — scalar or per-sample
+        [B] array, traced, so ONE compiled graph serves all 9 instructions
+        (the reference rebuilds its mask with Python loops per call,
+        ref:src/model.py:1268-1379). The two reference entry points `forward`
+        (ref:1064) and `forward_with_guidance` (ref:1157) collapse into this
+        one function.
 
         images: [B, H, W, 3] normalized NHWC. exif_data: dict of [B] arrays
         ('camera_idx' int; 'focal_length'/'aperture'/'iso' float, raw units
@@ -268,7 +271,10 @@ class CognitiveAimModel:
         # temperature-0.05 softmax, re-pool the ORIGINAL patch tokens
         N = patches.shape[1]
         g = int(N**0.5)
-        gvec = G.mask_table(g, N)[guidance][None]  # [1, N]
+        g_idx = jnp.asarray(guidance, jnp.int32)
+        gvec = G.mask_table(g, N)[g_idx]  # [N] or [B, N]
+        if gvec.ndim == 1:
+            gvec = gvec[None]
         guided = 0.7 * gvec + 0.3 * attn
         guided = jax.nn.softmax(guided / 0.05, axis=-1)
         weighted = (patches * guided[..., None]).sum(axis=1)
