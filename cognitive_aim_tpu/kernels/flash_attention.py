@@ -1,0 +1,119 @@
+"""Pallas flash attention for the ViT backbone (TPU).
+
+Online-softmax attention that never materializes the [N, N] score matrix in
+HBM. Shapes here are ViT-scale: N = 257 (224^2) or 1370 (518^2), head_dim 64,
+12 heads — so the kernel tiles queries into VMEM blocks and keeps K/V for one
+(batch, head) resident, streaming blocks of K/V through the MXU with masking
+for the padded tail (1370 -> 1408, SURVEY.md §7 hard part 3).
+
+Grid: (batch*heads, num_q_blocks); block sizes tuned for v5e VMEM (16 MB):
+q_block 256 x 64, k_block 512 x 64 — ~0.4 MB resident per step.
+
+Ships with an XLA reference (`attention_reference`) and interpret-mode tests
+(tests/test_kernels.py). Used by nn/dinov2.py when attn_impl="pallas".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def attention_reference(q, k, v, scale: float):
+    """[B, N, H, D] inputs; f32 softmax; returns [B, N, H, D]."""
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qt, kt) * scale
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bqhd", probs, vt)
+    return out
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, k_block, n_valid, n_pad):
+    """One (batch*head, q_block) program: online softmax over k blocks.
+    Refs carry a leading block dim of 1: q_ref [1, Bq, D], k/v_ref [1, Np, D]."""
+    q = q_ref[0]  # [Bq, D] in storage dtype (bf16 fast path)
+    bq, d = q.shape
+    num_kb = n_pad // k_block
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * k_block, k_block), :]  # [Bk, D]
+        v = v_ref[0, pl.ds(i * k_block, k_block), :]
+        # q·k^T on the MXU in storage dtype, f32 accumulation
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        # mask padded keys
+        kidx = i * k_block + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, k_block), dimension=1
+        )
+        s = jnp.where(kidx < n_valid, s, NEG_INF)
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_new = acc * alpha + pv
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "q_block", "k_block"))
+def flash_attention(q, k, v, scale: float, q_block: int = 256, k_block: int = 512):
+    """q, k, v: [B, N, H, D] -> [B, N, H, D] (layout matches dinov2._mhsa)."""
+    B, N, H, D = q.shape
+    n_pad = _round_up(N, max(q_block, k_block))
+
+    def reshape(x):
+        x = x.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+        return jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
+
+    qf, kf, vf = reshape(q), reshape(k), reshape(v)
+
+    grid = (B * H, n_pad // q_block)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, k_block=k_block, n_valid=N, n_pad=n_pad
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, D), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, D), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, n_pad, D), q.dtype),
+    )(qf, kf, vf)
+
+    out = out[:, :N, :].reshape(B, H, N, D).transpose(0, 2, 1, 3)
+    return out
+
+
+def _squeeze_kernel(fn):
+    """Adapt a [Bq, D]-style kernel to the leading block dim of 1."""
+    return fn

@@ -72,19 +72,25 @@ class CognitiveAimModel:
         arch: ModelArchConfig,
         policy: Policy = DEFAULT_POLICY,
         attn_impl: str = "xla",
+        vit_cfg: Optional[dinov2.DinoV2Config] = None,
     ):
         self.arch = arch
         self.policy = policy
         self.attn_impl = attn_impl
-        self.vit_cfg = dinov2.config_for(
+        self.vit_cfg = vit_cfg or dinov2.config_for(
             arch.backbone_size, use_lora=arch.use_lora, lora_rank=arch.lora_rank
         )
+        # stream/curiosity widths follow the backbone hidden size (the
+        # reference hardcodes 768 even for 'large', where its curiosity call
+        # then always fails on shape mismatch and silently degrades —
+        # ref:src/model.py:948-952 with :995-1001; we use the actual width)
+        self.feature_dim = self.vit_cfg.hidden_size
         self.exploration_history = C.ExplorationHistory()
 
     # ------------------------------------------------------------- init ----
     def init(self, key) -> Dict:
         a = self.arch
-        D = a.feature_dim
+        D = self.feature_dim
         ks = jax.random.split(key, 10)
         params: Dict[str, Any] = {
             "backbone": dinov2.init(ks[0], self.vit_cfg),
@@ -110,10 +116,9 @@ class CognitiveAimModel:
         if a.use_exif:
             params["exif_prior"] = S.exif_prior_init(ks[4], a.num_cameras)
         if a.use_curiosity:
-            # always 768-dim target_fusion_dim, hidden 256 (ref:948-952)
+            # hidden 256 as in the reference (ref:948-952)
             params["curiosity_module"] = C.curiosity_init(
-                ks[5], 768 if a.backbone_size != "large" else D, 256,
-                a.enable_hierarchical_curiosity,
+                ks[5], D, 256, a.enable_hierarchical_curiosity,
             )
         # fusion Linear(192,192) torch-default (ref:908-912)
         params["fusion"] = {"fc0": L.linear_init(ks[6], a.fusion_dim, a.fusion_dim)}
@@ -202,10 +207,20 @@ class CognitiveAimModel:
                 )
 
             if a.use_focal:
-                focal_feats, attention, entropy = self._focal(
-                    params, patches, curiosity_score, guidance,
-                    rng=rngs.get("focal"), train=train, noise_mode=noise_mode,
-                )
+                # focal streams carry 3 full NxN attentions — run them in the
+                # policy compute dtype with DEFAULT matmul precision (bf16 MXU
+                # path); softmax/aggregation inside stay f32
+                with jax.default_matmul_precision(
+                    "highest"
+                    if self.policy.backbone_compute_dtype == jnp.float32
+                    else "default"
+                ):
+                    focal_feats, attention, entropy = self._focal(
+                        params, patches, curiosity_score, guidance,
+                        rng=rngs.get("focal"), train=train, noise_mode=noise_mode,
+                    )
+                focal_feats = focal_feats.astype(jnp.float32)
+                attention = attention.astype(jnp.float32)
                 raw_feats.append(focal_feats)
                 aux["attention_entropy"] = entropy
 
@@ -249,18 +264,19 @@ class CognitiveAimModel:
     def _focal(self, params, patches, curiosity_score, guidance, *, rng, train,
                noise_mode):
         a = self.arch
-        cd = self.policy.backbone_compute_dtype if not train else jnp.float32
-        run = patches  # focal streams run in f32 under highest precision here
+        cd = self.policy.backbone_compute_dtype
+        run = patches.astype(cd)
+        fparams = jax.tree.map(lambda t: t.astype(cd), params["focal_stream"])
         if a.use_iterative:
             feats, attn, entropy = S.iterative_focal_apply(
-                params["focal_stream"], run, curiosity_score,
+                fparams, run, curiosity_score,
                 focus_strength=a.focus_strength,
                 curiosity_guided=a.curiosity_guided,
                 rng=rng, train=train, noise_mode=noise_mode,
             )
         else:
             feats, attn, entropy = S.focal_apply(
-                params["focal_stream"], run, curiosity_score,
+                fparams, run, curiosity_score,
                 curiosity_guided=a.curiosity_guided,
                 rng=rng, train=train, noise_mode=noise_mode,
             )

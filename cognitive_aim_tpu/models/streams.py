@@ -165,15 +165,18 @@ def focal_apply(
     Returns (focal_features [B, 64], attention [B, N], entropy scalar).
     """
     B, N, D = patch_tokens.shape
-    x = patch_tokens + jnp.asarray(focal_pos_encoding_np(N, D))[None]
+    dt = patch_tokens.dtype  # compute dtype (bf16 on the fast path, f32 strict)
+    x = patch_tokens + jnp.asarray(focal_pos_encoding_np(N, D)).astype(dt)[None]
 
     q = L.linear_apply(params["query_proj"], x)
     k = L.linear_apply(params["key_proj"], x)
     v = L.linear_apply(params["value_proj"], x)
     scale = math.sqrt(D // num_heads)  # ref:src/model.py:69 (NOT multi-head)
     scores = jnp.einsum("bnd,bmd->bnm", q, k) / scale
-    attn = jax.nn.softmax(scores, axis=-1)  # attention dropout is p=0.0 (ref:70)
-    attended = jnp.einsum("bnm,bmd->bnd", attn, v)
+    # softmax + all attention aggregation in f32 (cheap VPU work; keeps the
+    # L1-normalized attention numerically faithful even under bf16 matmuls)
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    attended = jnp.einsum("bnm,bmd->bnd", attn.astype(dt), v)
 
     # aggregated per-patch attention: column mean + center bias (ref:233-239)
     cb = jnp.asarray(center_bias_np(N))[None]
@@ -184,7 +187,7 @@ def focal_apply(
     pa = jnp.where(L.torch_var(pa) < 1e-6, diag, pa)
     rowmax = attn.max(axis=-1) + cb
     pa = jnp.where(L.torch_var(pa) < 1e-6, rowmax, pa)
-    norms = jnp.linalg.norm(x, axis=-1)
+    norms = jnp.linalg.norm(x.astype(jnp.float32), axis=-1)
     nstd = jnp.std(norms, ddof=1)
     noise = normal_like(rng, norms.shape, norms.dtype, noise_mode) * 0.1 * nstd
     pa = jnp.where(L.torch_var(pa) < 1e-6, norms + noise, pa)
@@ -211,7 +214,7 @@ def focal_apply(
     if train:
         entropy = (-(final * jnp.log(final + 1e-8)).sum(-1)).mean()  # ref:287-292
 
-    weighted = (attended * final[..., None]).sum(axis=1)
+    weighted = (attended.astype(jnp.float32) * final[..., None]).sum(axis=1)
     feats = L.mlp_apply(
         params["projection"], weighted, dropout_rate=0.1, dropout_after=(0,),
         rng=rng, train=train,
@@ -323,7 +326,8 @@ def iterative_focal_apply(
         feats.append(f)
         ents.append(ent)
         if i < n - 1:  # re-focus for the next iteration (ref:424-427)
-            cur = cur * (1.0 + focus_strength * attn[..., None])
+            cur = (cur.astype(jnp.float32)
+                   * (1.0 + focus_strength * attn[..., None])).astype(cur.dtype)
 
     fused = L.mlp_apply(params["fusion"], jnp.concatenate(feats, axis=1))
     entropy = jnp.mean(jnp.stack(ents)) if train else jnp.asarray(0.0)

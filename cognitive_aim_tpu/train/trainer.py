@@ -1,0 +1,326 @@
+"""Training engine: pjit-sharded train step, optax AdamW + (warmup-)cosine,
+gradient accumulation, grad-clip 1.0, TB-compatible logging, tolerant
+checkpointing.
+
+`train.py` in the reference is a *specification*, not working code
+(SURVEY.md §2.4 lists the crashes: missing config keys, model-output tuple
+treated as tensor, broken curiosity branch). This trainer keeps the
+documented mechanics — SILog depth loss (ref:train.py:26-45), total =
+depth + 0.1*curiosity after warmup (ref:150-163), clip-grad-norm 1.0
+(ref:169), AdamW (ref:104-109), cosine schedule (ref:115-120), best-val
+checkpointing (ref:273-286), TB scalar names Train/BatchLoss etc.
+(ref:185-190, 263-266) — with the key mismatches resolved and the loop
+expressed as one jitted step over a (data[, model]) mesh.
+
+Depth target semantics: the model predicts a single scalar per image while
+the dataset yields [H, W] maps; the reference would crash on the shape
+mismatch (ref:train.py:148 vs [B,H,W] depths). Here the target is the
+spatial mean of the valid depth map, or a provided scalar `depth_value`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cognitive_aim_tpu.core.mesh import make_mesh
+from cognitive_aim_tpu.parallel.sharding import (
+    batch_shardings,
+    param_shardings,
+    shard_batch,
+    shard_params,
+)
+from cognitive_aim_tpu.train import losses as LS
+from cognitive_aim_tpu.train.metrics import calculate_depth_metrics
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 2e-5
+    weight_decay: float = 0.015
+    epochs: int = 10
+    batch_size: int = 8
+    accumulation_steps: int = 1
+    scheduler: str = "cosine"  # cosine | warmup_cosine | step
+    warmup_epochs: int = 0
+    grad_clip: float = 1.0
+    loss_lambda: float = 0.5
+    curiosity_warmup_epochs: int = 0
+    curiosity_weight: float = 0.1  # ref:train.py:163 fixed 0.1
+    curiosity_loss_type: str = "robust"
+    uncertainty_weight: float = 0.1
+    attention_entropy_weight: float = 0.0
+    log_interval: int = 10
+    save_interval: int = 1
+    steps_per_epoch: int = 100  # for schedule construction
+    freeze_backbone: bool = True
+    tensor_parallel: bool = False
+    seed: int = 0
+
+    @classmethod
+    def from_raw(cls, raw: Dict[str, Any], steps_per_epoch: int = 100):
+        """Accepts the shipped YAML schema with the reference's intended keys
+        and tolerant fallbacks for the ones train.py reads but no YAML
+        defines (ref:train.py:94 training.loss.lambda, ref:100
+        model.curiosity.warmup_epochs)."""
+        tr = raw.get("training", {})
+        cur = raw.get("curiosity", raw.get("model", {}).get("curiosity", {})) or {}
+        loss_cfg = tr.get("loss", {}) if isinstance(tr.get("loss"), dict) else {}
+        logging_cfg = raw.get("logging", {})
+        return cls(
+            learning_rate=float(tr.get("learning_rate", 2e-5)),
+            weight_decay=float(tr.get("weight_decay", 0.015)),
+            epochs=int(tr.get("epochs", 10)),
+            batch_size=int(tr.get("batch_size", 8)),
+            accumulation_steps=int(tr.get("accumulation_steps", 1)),
+            scheduler=str(tr.get("scheduler", "cosine")),
+            warmup_epochs=int(tr.get("warmup_epochs", 0)),
+            grad_clip=float(tr.get("grad_clip_value", 1.0)),
+            loss_lambda=float(loss_cfg.get("lambda", cur.get("lambda", 0.5))),
+            curiosity_warmup_epochs=int(cur.get("warmup_epochs", 0)),
+            curiosity_loss_type=str(cur.get("loss_type", "robust")),
+            uncertainty_weight=float(cur.get("uncertainty_weight", 0.1)),
+            attention_entropy_weight=float(tr.get("attention_entropy_weight", 0.0)),
+            log_interval=int(logging_cfg.get("log_interval", 10)),
+            save_interval=int(logging_cfg.get("save_interval",
+                                              tr.get("save_every", 1))),
+            steps_per_epoch=steps_per_epoch,
+            freeze_backbone=bool(raw.get("freeze_backbone",
+                                         raw.get("model", {}).get("freeze_backbone", True))),
+        )
+
+
+def scalar_depth_target(depths: jnp.ndarray) -> jnp.ndarray:
+    """[B] per-image scalar target from [B,H,W] maps (spatial mean) or
+    pass-through for [B] scalars."""
+    if depths.ndim == 1:
+        return depths
+    return depths.reshape(depths.shape[0], -1).mean(axis=1)
+
+
+class Trainer:
+    def __init__(self, model, params, cfg: TrainConfig, mesh=None,
+                 output_dir: str = "./outputs", writer=None):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self.writer = writer
+        self.epoch = 0
+        self.best_val_loss = float("inf")
+
+        schedule = self._schedule()
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),  # ref:train.py:169
+            optax.adamw(schedule, weight_decay=cfg.weight_decay,
+                        b1=0.9, b2=0.999, eps=1e-8),
+        )
+        if cfg.freeze_backbone:
+            # freeze the backbone except LoRA adapters (ref:src/model.py:817-819
+            # freezes all backbone params; LoRA params are the trainable
+            # adaptation, ref:821-831)
+            def _labels(p):
+                def label(path, _):
+                    names = [str(getattr(k, "key", getattr(k, "idx", k))) for k in path]
+                    if names and names[0] == "backbone":
+                        if any(n in ("lora_A", "lora_B") for n in names):
+                            return "train"
+                        return "freeze"
+                    return "train"
+
+                return jax.tree_util.tree_map_with_path(label, p)
+
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, param_labels=_labels
+            )
+        if cfg.accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, cfg.accumulation_steps)
+        self.tx = tx
+
+        self.params = shard_params(self.mesh, params, cfg.tensor_parallel)
+        self.opt_state = self.tx.init(self.params)
+        self._step_fn = self._build_step()
+        self._global_step = 0
+
+    def _schedule(self):
+        c = self.cfg
+        total = max(1, c.epochs * c.steps_per_epoch // max(1, c.accumulation_steps))
+        warm = c.warmup_epochs * c.steps_per_epoch // max(1, c.accumulation_steps)
+        if c.scheduler in ("warmup_cosine", "cosine"):
+            if warm > 0:
+                return optax.warmup_cosine_decay_schedule(
+                    0.0, c.learning_rate, warm, total, end_value=1e-6
+                )
+            return optax.cosine_decay_schedule(c.learning_rate, total, alpha=1e-6 / c.learning_rate)
+        # StepLR(step_size=30 epochs, gamma=0.1) fallback (ref:train.py:122)
+        return optax.exponential_decay(
+            c.learning_rate, 30 * c.steps_per_epoch, 0.1, staircase=True
+        )
+
+    # ------------------------------------------------------------- step ----
+    def _build_step(self):
+        cfg = self.cfg
+        model = self.model
+
+        def loss_fn(params, batch, rng, curiosity_on):
+            out = model.apply(
+                params, batch["images"], batch.get("exif"), rng=rng, train=True
+            )
+            pred = out.depth[:, 0]
+            target = scalar_depth_target(batch["depths"])
+            depth_loss = LS.scale_invariant_loss(pred, target, cfg.loss_lambda)
+
+            pred_error = jnp.abs(pred - target)
+            cur_loss = LS.curiosity_loss(out.curiosity, pred_error)
+            cur_loss = jnp.where(curiosity_on, cur_loss, 0.0)
+
+            total = depth_loss + cfg.curiosity_weight * cur_loss
+            if cfg.attention_entropy_weight > 0 and "attention_entropy" in out.aux:
+                total = total + cfg.attention_entropy_weight * out.aux["attention_entropy"]
+            return total, {
+                "loss": total,
+                "depth_loss": depth_loss,
+                "curiosity_loss": cur_loss,
+            }
+
+        def step(params, opt_state, batch, rng, curiosity_on):
+            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng, curiosity_on
+            )
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, logs
+
+        pspec = param_shardings(self.mesh, self.params, cfg.tensor_parallel)
+        return jax.jit(
+            step,
+            donate_argnums=(0, 1),
+            out_shardings=(pspec, None, None),
+        )
+
+    def train_step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
+        batch = self._device_batch(batch)
+        curiosity_on = jnp.asarray(
+            self.epoch >= self.cfg.curiosity_warmup_epochs
+            and self.model.arch.use_curiosity
+        )
+        self.params, self.opt_state, logs = self._step_fn(
+            self.params, self.opt_state, batch, rng, curiosity_on
+        )
+        self._global_step += 1
+        return {k: float(v) for k, v in logs.items()}
+
+    def _device_batch(self, batch):
+        batch = {
+            "images": jnp.asarray(batch["images"], jnp.float32),
+            "depths": jnp.asarray(batch["depths"], jnp.float32),
+            **(
+                {"exif": {k: jnp.asarray(v) for k, v in batch["exif"].items()}}
+                if "exif" in batch
+                else {}
+            ),
+        }
+        return shard_batch(self.mesh, batch)
+
+    # ------------------------------------------------------------ loops ----
+    def train_epoch(self, loader, rng) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        n = 0
+        for i, batch in enumerate(loader):
+            logs = self.train_step(batch, jax.random.fold_in(rng, i))
+            for k, v in logs.items():
+                sums[k] = sums.get(k, 0.0) + v
+            n += 1
+            if self.writer and i % self.cfg.log_interval == 0:
+                gs = self.epoch * len(loader) + i
+                self.writer.add_scalar("Train/BatchLoss", logs["loss"], gs)
+                self.writer.add_scalar("Train/DepthLoss", logs["depth_loss"], gs)
+                self.writer.add_scalar("Train/CuriosityLoss", logs["curiosity_loss"], gs)
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def validate(self, loader) -> Dict[str, float]:
+        total = 0.0
+        n = 0
+        preds, targets = [], []
+        for batch in loader:
+            db = self._device_batch(batch)
+            out = self.model.apply(self.params, db["images"], db.get("exif"),
+                                   rng=jax.random.PRNGKey(0))
+            pred = np.asarray(out.depth[:, 0])
+            target = np.asarray(scalar_depth_target(db["depths"]))
+            total += float(
+                LS.scale_invariant_loss(jnp.asarray(pred), jnp.asarray(target),
+                                        self.cfg.loss_lambda)
+            )
+            preds.append(pred)
+            targets.append(target)
+            n += 1
+        metrics = {}
+        if preds:
+            metrics = calculate_depth_metrics(
+                np.concatenate(preds), np.concatenate(targets)
+            )
+        metrics["val_loss"] = total / max(n, 1)
+        return metrics
+
+    def fit(self, train_loader, val_loader, epochs: Optional[int] = None):
+        epochs = epochs or self.cfg.epochs
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        history = []
+        for epoch in range(self.epoch, epochs):
+            self.epoch = epoch
+            train_logs = self.train_epoch(train_loader, jax.random.fold_in(rng, epoch))
+            val = self.validate(val_loader)
+            if self.writer:
+                self.writer.add_scalar("Train/EpochLoss", train_logs["loss"], epoch)
+                self.writer.add_scalar("Train/DepthLoss", train_logs["depth_loss"], epoch)
+                self.writer.add_scalar("Val/Loss", val["val_loss"], epoch)
+                for k in ("rmse", "mae", "abs_rel", "delta1"):
+                    if k in val:
+                        self.writer.add_scalar(f"Val/{k}", val[k], epoch)
+            is_best = val["val_loss"] < self.best_val_loss
+            if is_best:
+                self.best_val_loss = val["val_loss"]
+            if epoch % self.cfg.save_interval == 0 or is_best:
+                self.save_checkpoint(is_best)
+            history.append({"epoch": epoch, **train_logs, **val})
+        return history
+
+    # ------------------------------------------------------- checkpoints ----
+    def save_checkpoint(self, is_best: bool, filename: str = "checkpoint.npz"):
+        """latest + best copy + per-epoch file (ref:src/utils.py:46-62)."""
+        from cognitive_aim_tpu.api import flatten_tree
+
+        path = os.path.join(self.output_dir, filename)
+        state = {
+            **{f"params/{k}": v for k, v in flatten_tree(self.params).items()},
+            "meta/epoch": np.asarray(self.epoch),
+            "meta/best_val_loss": np.asarray(self.best_val_loss),
+        }
+        np.savez(path, **state)
+        if is_best:
+            shutil.copyfile(path, os.path.join(self.output_dir, "model_best.npz"))
+        shutil.copyfile(
+            path, os.path.join(self.output_dir, f"checkpoint_epoch_{self.epoch}.npz")
+        )
+
+    def load_checkpoint(self, path: str):
+        from cognitive_aim_tpu.api import unflatten_npz
+
+        data = np.load(path)
+        tree = unflatten_npz(data)
+        self.params = jax.tree.map(
+            lambda t, i: jnp.asarray(i, t.dtype), self.params, tree["params"]
+        )
+        self.params = shard_params(self.mesh, self.params, self.cfg.tensor_parallel)
+        self.opt_state = self.tx.init(self.params)
+        self.epoch = int(data["meta/epoch"]) + 1
+        self.best_val_loss = float(data["meta/best_val_loss"])

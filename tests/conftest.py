@@ -4,7 +4,7 @@ multi-chip sharding is exercised without real TPUs (SURVEY.md §4 tier 4)."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # the env pre-sets 'axon' (TPU tunnel)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+# The axon sitecustomize forces the TPU platform regardless of JAX_PLATFORMS;
+# override post-import so tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare against torch f32; JAX's DEFAULT matmul precision is
 # bf16-like on both the oneDNN CPU backend and TPU, so pin full precision here.

@@ -1,0 +1,58 @@
+"""Pallas kernel tests: interpret-mode correctness vs the XLA reference
+(every kernel ships with a reference implementation, SURVEY.md §7.3)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cognitive_aim_tpu.kernels import flash_attention as FA
+
+
+def _qkv(B=2, N=257, H=4, D=64, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (B, N, H, D)
+    return tuple(jax.random.normal(k, shape, dtype) for k in ks)
+
+
+@pytest.mark.parametrize("N", [257, 200, 1370])
+def test_flash_attention_interpret_matches_reference(N, monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    q, k, v = _qkv(B=1, N=N, H=2)
+    scale = 64**-0.5
+    want = FA.attention_reference(q, k, v, scale)
+    got = FA.flash_attention(q, k, v, scale=scale, q_block=128, k_block=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-4)
+
+
+def test_flash_attention_matches_dinov2_path(monkeypatch):
+    """dinov2.apply(attn_impl='pallas') == attn_impl='xla' (interpret mode)."""
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    from cognitive_aim_tpu.nn import dinov2
+
+    cfg = dinov2.DinoV2Config(hidden_size=64, num_layers=2, num_heads=4,
+                              patch_size=14, pretrain_image_size=56)
+    params = dinov2.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    a = dinov2.apply(params, x, cfg, attn_impl="xla")
+    b = dinov2.apply(params, x, cfg, attn_impl="pallas")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-4)

@@ -1,0 +1,154 @@
+"""Training-step tests: loss parity vs the reference formulas, loss decreases
+on a synthetic batch, checkpoint save/restore roundtrip, DP-sharded step on
+the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cognitive_aim_tpu.core.precision import STRICT_F32
+from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+from cognitive_aim_tpu.models.config import ModelArchConfig
+from cognitive_aim_tpu.nn.dinov2 import DinoV2Config
+from cognitive_aim_tpu.train import losses as LS
+from cognitive_aim_tpu.train.metrics import calculate_depth_metrics
+from cognitive_aim_tpu.train.trainer import TrainConfig, Trainer
+
+
+def tiny_model(**arch_kw):
+    arch = ModelArchConfig(
+        num_iterations=2, focus_strength=0.1, num_cameras=4, image_size=28,
+        freeze_backbone=False, **arch_kw,
+    )
+    vit = DinoV2Config(
+        hidden_size=64, num_layers=2, num_heads=4, patch_size=14,
+        pretrain_image_size=28,
+    )
+    model = CognitiveAimModel(arch, policy=STRICT_F32, vit_cfg=vit)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def synth_batch(B=8, size=28, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "images": rng.randn(B, size, size, 3).astype(np.float32) * 0.5,
+        "depths": np.abs(rng.randn(B).astype(np.float32)) + 0.5,
+        "exif": {
+            "camera_idx": np.zeros(B, np.int32),
+            "focal_length": np.full(B, 0.25, np.float32),
+            "aperture": np.full(B, 0.127, np.float32),
+            "iso": np.full(B, 0.016, np.float32),
+        },
+    }
+
+
+# ------------------------------------------------------------ loss parity ---
+def test_silog_matches_reference():
+    import importlib
+    import sys
+
+    from conftest import REFERENCE_ROOT, import_reference_model
+
+    import_reference_model()  # installs torchvision stub + sys.path
+    sys.path.insert(0, REFERENCE_ROOT)
+    ref_train = importlib.import_module("train")
+    import torch
+
+    pred = np.abs(np.random.RandomState(0).randn(16)).astype(np.float32) + 0.1
+    target = np.abs(np.random.RandomState(1).randn(16)).astype(np.float32) + 0.1
+    want = float(
+        ref_train.ScaleInvariantLoss(0.5)(torch.tensor(pred), torch.tensor(target))
+    )
+    got = float(LS.scale_invariant_loss(jnp.asarray(pred), jnp.asarray(target), 0.5))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    cur = np.random.RandomState(2).rand(4, 6).astype(np.float32)
+    err = np.random.RandomState(3).rand(4).astype(np.float32)
+    want = float(ref_train.CuriosityLoss()(torch.tensor(cur), torch.tensor(err)))
+    got = float(LS.curiosity_loss(jnp.asarray(cur), jnp.asarray(err)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_metrics_match_reference():
+    from conftest import REFERENCE_ROOT, import_reference_model
+    import importlib
+    import sys
+
+    import_reference_model()
+    sys.path.insert(0, REFERENCE_ROOT)
+    ref_utils = importlib.import_module("src.utils")
+    import torch
+
+    pred = np.abs(np.random.RandomState(0).randn(100)) + 0.05
+    target = np.abs(np.random.RandomState(1).randn(100)) + 0.05
+    want = ref_utils.calculate_depth_metrics(torch.tensor(pred), torch.tensor(target))
+    got = calculate_depth_metrics(pred, target)
+    for k in ("rmse", "mae", "delta_1", "delta_2", "delta_3", "rel_error", "log_error"):
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6, err_msg=k)
+
+
+# --------------------------------------------------------------- training ---
+@pytest.fixture(scope="module")
+def trained():
+    model, params = tiny_model()
+    cfg = TrainConfig(
+        learning_rate=3e-3, epochs=1, batch_size=8, steps_per_epoch=30,
+        freeze_backbone=False, weight_decay=0.0,
+    )
+    trainer = Trainer(model, params, cfg, output_dir="/tmp/cat_test_out")
+    batch = synth_batch()
+    losses = []
+    for i in range(25):
+        logs = trainer.train_step(batch, jax.random.PRNGKey(i))
+        losses.append(logs["loss"])
+    return trainer, losses
+
+
+def test_loss_decreases(trained):
+    _, losses = trained
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses[:3] + losses[-3:]
+
+
+def test_checkpoint_roundtrip(trained):
+    trainer, _ = trained
+    trainer.save_checkpoint(is_best=True)
+    model, params = tiny_model()
+    cfg = TrainConfig(epochs=1, steps_per_epoch=30, freeze_backbone=False)
+    t2 = Trainer(model, params, cfg, output_dir="/tmp/cat_test_out2")
+    t2.load_checkpoint("/tmp/cat_test_out/model_best.npz")
+    a = jax.tree_util.tree_leaves(trainer.params)
+    b = jax.tree_util.tree_leaves(t2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert t2.epoch == trainer.epoch + 1
+
+
+def test_dp_sharded_step_runs():
+    """8-virtual-device data-parallel step executes and params stay in sync."""
+    assert jax.device_count() == 8
+    model, params = tiny_model()
+    cfg = TrainConfig(epochs=1, steps_per_epoch=5, freeze_backbone=False)
+    trainer = Trainer(model, params, cfg, output_dir="/tmp/cat_test_dp")
+    logs = trainer.train_step(synth_batch(B=16), jax.random.PRNGKey(0))
+    assert np.isfinite(logs["loss"])
+
+
+def test_frozen_backbone_keeps_backbone_params():
+    model, params = tiny_model()
+    cfg = TrainConfig(
+        learning_rate=1e-2, epochs=1, steps_per_epoch=5, freeze_backbone=True,
+        weight_decay=0.0,
+    )
+    trainer = Trainer(model, params, cfg, output_dir="/tmp/cat_test_frz")
+    before = np.asarray(
+        jax.tree_util.tree_leaves(trainer.params["backbone"])[0]
+    ).copy()
+    before_head = np.asarray(trainer.params["fusion"]["fc0"]["w"]).copy()
+    trainer.train_step(synth_batch(), jax.random.PRNGKey(0))
+    after = np.asarray(jax.tree_util.tree_leaves(trainer.params["backbone"])[0])
+    after_head = np.asarray(trainer.params["fusion"]["fc0"]["w"])
+    np.testing.assert_array_equal(before, after)
+    assert np.abs(after_head - before_head).max() > 0
