@@ -1,0 +1,103 @@
+"""ctypes bindings for the native C++ batch loader (io/native/loader.cpp).
+
+Multi-threaded JPEG/PNG decode + torch-style bilinear resize + ImageNet
+normalization producing device-ready NHWC f32 batches, off the GIL. Builds
+on first use with the in-image g++ (no pip/pybind11 needed); falls back to
+the PIL path (io/preprocess.py) when a toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libcaim_loader.so")
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _ensure_built() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(
+                ["make", "-s"], cwd=_NATIVE_DIR, check=True, capture_output=True
+            )
+        except Exception as e:
+            _build_failed = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "native loader build failed (%s); falling back to PIL", e
+            )
+            return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.caim_decode_resize_batch.restype = ctypes.c_int
+    lib.caim_decode_resize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _ensure_built() is not None
+
+
+def decode_resize_batch(
+    paths: List[str],
+    out_h: int,
+    out_w: int,
+    normalize: bool = True,
+    n_threads: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (batch [N, H, W, 3] f32, ok [N] bool). Falls back to PIL when
+    the native library is unavailable."""
+    lib = _ensure_built()
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.float32)
+    ok = np.zeros(n, np.uint8)
+    if lib is None:
+        from cognitive_aim_tpu.io.preprocess import (
+            load_image_uint8,
+            normalize_np,
+            pil_resize_host,
+        )
+
+        for i, p in enumerate(paths):
+            try:
+                img = pil_resize_host(load_image_uint8(p), out_h, out_w)
+                out[i] = normalize_np(img) if normalize else img
+                ok[i] = 1
+            except Exception:
+                out[i] = 0.0
+        return out, ok.astype(bool)
+
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.caim_decode_resize_batch(
+        c_paths,
+        n,
+        out_h,
+        out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n_threads,
+        1 if normalize else 0,
+    )
+    return out, ok.astype(bool)

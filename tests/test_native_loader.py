@@ -1,0 +1,50 @@
+"""Native C++ loader: builds, decodes JPEG/PNG, matches the numpy bilinear
+reference (torch half-pixel semantics), and handles bad paths."""
+
+import numpy as np
+import pytest
+
+from cognitive_aim_tpu.io import native_loader
+from cognitive_aim_tpu.io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+from cognitive_aim_tpu.nn.torch_interp import resize_weights
+
+
+@pytest.fixture(scope="module")
+def images(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    arrs = {}
+    for name, fmt in (("a.jpg", "JPEG"), ("b.png", "PNG")):
+        arr = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        path = str(d / name)
+        Image.fromarray(arr).save(path, format=fmt, quality=98)
+        # reread (jpeg is lossy) for the reference comparison
+        arrs[path] = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    return arrs
+
+
+def test_native_build():
+    assert native_loader.available(), "native loader failed to build"
+
+
+def test_decode_matches_reference(images):
+    paths = list(images)
+    out, ok = native_loader.decode_resize_batch(paths, 48, 64, normalize=True)
+    assert ok.all()
+    for i, p in enumerate(paths):
+        u8 = images[p].astype(np.float32) / 255.0
+        Wh = resize_weights(96, 48, "bilinear")
+        Ww = resize_weights(128, 64, "bilinear")
+        ref = np.einsum("oh,hwc->owc", Wh, u8)
+        ref = np.einsum("pw,owc->opc", Ww, ref)
+        ref = (ref - IMAGENET_MEAN) / IMAGENET_STD
+        np.testing.assert_allclose(out[i], ref, atol=2e-3)
+
+
+def test_bad_path(images):
+    paths = list(images)[:1] + ["/nonexistent/xx.jpg"]
+    out, ok = native_loader.decode_resize_batch(paths, 32, 32)
+    assert ok[0] and not ok[1]
+    assert np.all(out[1] == 0.0)
