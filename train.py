@@ -24,6 +24,7 @@ def main():
     parser.add_argument("--output_dir", type=str, default="./outputs")
     parser.add_argument("--resume", type=str, help="checkpoint to resume from")
     parser.add_argument("--epochs", type=int, default=None, help="override epochs")
+    parser.add_argument("--batch_size", type=int, default=None, help="override batch size")
     parser.add_argument("--tensor-parallel", action="store_true")
     parser.add_argument("--policy", type=str, default="default")
     parser.add_argument("--attn", type=str, default="xla", choices=["xla", "pallas"])
@@ -69,7 +70,9 @@ def main():
     )
     params = model.init(jax.random.PRNGKey(seed))
 
-    train_loader, val_loader = create_dataloaders(args.data_dir, config, seed=seed)
+    train_loader, val_loader = create_dataloaders(
+        args.data_dir, config, batch_size=args.batch_size, seed=seed
+    )
     if len(train_loader.dataset) == 0:
         raise SystemExit(
             f"No training data found under {args.data_dir} "
@@ -82,6 +85,8 @@ def main():
     tcfg.freeze_backbone = arch.freeze_backbone
     if args.epochs is not None:
         tcfg.epochs = args.epochs
+    if args.batch_size is not None:
+        tcfg.batch_size = args.batch_size
 
     trainer = Trainer(model, params, tcfg, output_dir=args.output_dir, writer=writer)
     if args.resume:
