@@ -159,9 +159,16 @@ def patchify(images, patch: int):
 def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
     B, N, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
-    q = L.linear_apply(p["q"], x).reshape(B, N, H, hd)
-    k = L.linear_apply(p["k"], x).reshape(B, N, H, hd)
-    v = L.linear_apply(p["v"], x).reshape(B, N, H, hd)
+    if "qkv_w" in p:  # fused projection: one [D, 3D] MXU matmul
+        qkv = x @ p["qkv_w"] + p["qkv_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, H, hd)
+        k = k.reshape(B, N, H, hd)
+        v = v.reshape(B, N, H, hd)
+    else:
+        q = L.linear_apply(p["q"], x).reshape(B, N, H, hd)
+        k = L.linear_apply(p["k"], x).reshape(B, N, H, hd)
+        v = L.linear_apply(p["v"], x).reshape(B, N, H, hd)
     if attn_impl == "pallas":
         from cognitive_aim_tpu.kernels.flash_attention import flash_attention
 
@@ -197,6 +204,8 @@ def apply(
     *,
     compute_dtype=jnp.float32,
     attn_impl: str = "xla",
+    fuse_qkv: bool = True,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Forward pass.
 
@@ -223,11 +232,23 @@ def apply(
     x = x + pos.astype(compute_dtype)
 
     layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
+    if fuse_qkv:
+        # concatenate q/k/v into one [L, D, 3D] weight — same math, one MXU
+        # call instead of three narrow ones
+        layers = dict(layers)
+        layers["qkv_w"] = jnp.concatenate(
+            [layers["q"]["w"], layers["k"]["w"], layers["v"]["w"]], axis=-1
+        )
+        layers["qkv_b"] = jnp.concatenate(
+            [layers["q"]["b"], layers["k"]["b"], layers["v"]["b"]], axis=-1
+        )
+        for key in ("q", "k", "v"):
+            del layers[key]
 
     def body(carry, layer_params):
         return _block(layer_params, carry, cfg, attn_impl), None
 
-    x, _ = jax.lax.scan(body, x, layers)
+    x, _ = jax.lax.scan(body, x, layers, unroll=unroll)
     x = L.layernorm_apply(
         jax.tree.map(lambda a: a.astype(compute_dtype), params["final_norm"]),
         x,

@@ -295,6 +295,26 @@ class Trainer:
         return history
 
     # ------------------------------------------------------- checkpoints ----
+    def save_checkpoint_orbax(self, path: str):
+        """Orbax native checkpoint of the parameter pytree (async-capable,
+        sharding-aware — the production-scale option; npz is the portable
+        default)."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), self.params, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint_orbax(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(path), jax.tree.map(np.asarray, self.params)
+        )
+        self.params = shard_params(self.mesh, restored, self.cfg.tensor_parallel)
+        self.opt_state = self.tx.init(self.params)
+
     def save_checkpoint(self, is_best: bool, filename: str = "checkpoint.npz"):
         """latest + best copy + per-epoch file (ref:src/utils.py:46-62)."""
         from cognitive_aim_tpu.api import flatten_tree

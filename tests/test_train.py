@@ -152,3 +152,17 @@ def test_frozen_backbone_keeps_backbone_params():
     after_head = np.asarray(trainer.params["fusion"]["fc0"]["w"])
     np.testing.assert_array_equal(before, after)
     assert np.abs(after_head - before_head).max() > 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    model, params = tiny_model()
+    cfg = TrainConfig(epochs=1, steps_per_epoch=5, freeze_backbone=False)
+    t1 = Trainer(model, params, cfg, output_dir=str(tmp_path))
+    t1.train_step(synth_batch(), jax.random.PRNGKey(0))
+    t1.save_checkpoint_orbax(str(tmp_path / "orbax_ckpt"))
+    model2, params2 = tiny_model()
+    t2 = Trainer(model2, params2, cfg, output_dir=str(tmp_path / "o2"))
+    t2.load_checkpoint_orbax(str(tmp_path / "orbax_ckpt"))
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
