@@ -100,10 +100,10 @@ def bench(batch_size: int, image_size: int, policy: str, attn: str,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=0, help="0 = sweep")
+    ap.add_argument("--batch", type=int, default=8, help="0 = sweep")
     ap.add_argument("--size", type=int, default=518)
     ap.add_argument("--policy", type=str, default="default")
-    ap.add_argument("--attn", type=str, default="xla")
+    ap.add_argument("--attn", type=str, default="pallas")
     ap.add_argument("--k-short", type=int, default=2)
     ap.add_argument("--k-long", type=int, default=10)
     args = ap.parse_args()

@@ -53,6 +53,7 @@ class CognitiveAimInference:
         noise_mode: str = "sample",
         save_images: bool = True,
         output_dir: str = "demo_results",
+        vit_cfg=None,  # testing hook: override the backbone size
     ):
         with open(config_path, "r", encoding="utf-8") as f:
             self.config = yaml.safe_load(f)
@@ -67,7 +68,8 @@ class CognitiveAimInference:
 
         self.arch = resolve_model_config(self.config, lookup=lookup)
         self.model = CognitiveAimModel(
-            self.arch, policy=policy_from_name(policy), attn_impl=attn_impl
+            self.arch, policy=policy_from_name(policy), attn_impl=attn_impl,
+            vit_cfg=vit_cfg,
         )
         self.noise_mode = NoiseMode(noise_mode)
         self.save_images = save_images
