@@ -51,7 +51,7 @@ def bench(batch_size: int, image_size: int, policy: str, attn: str,
 
     arch = ModelArchConfig(num_iterations=3, image_size=image_size)
     model = CognitiveAimModel(arch, policy=policy_from_name(policy), attn_impl=attn)
-    params = model.init(jax.random.PRNGKey(0))
+    params = model.prepare_params(model.init(jax.random.PRNGKey(0)))
 
     B, S = batch_size, image_size
     rng = np.random.RandomState(0)

@@ -81,6 +81,7 @@ class CognitiveAimInference:
         self.params = self.model.init(jax.random.PRNGKey(seed))
         if checkpoint_path:
             self.load_checkpoint(checkpoint_path)
+        self.params = self.model.prepare_params(self.params)
 
         self._unguided = jax.jit(
             lambda p, x, e, k: self.model.apply(

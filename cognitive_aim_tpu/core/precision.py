@@ -19,6 +19,9 @@ class Policy:
     param_dtype: jnp.dtype = jnp.float32
     backbone_compute_dtype: jnp.dtype = jnp.bfloat16
     head_compute_dtype: jnp.dtype = jnp.float32
+    # int8 dense projections in the backbone (kernels/int8_ops.py): 2x MXU
+    # throughput on v5e; apply via CognitiveAimModel.prepare_params
+    quantize_backbone: bool = False
 
     def cast_backbone(self, x):
         return x.astype(self.backbone_compute_dtype)
@@ -32,6 +35,7 @@ STRICT_F32 = Policy(backbone_compute_dtype=jnp.float32)
 BF16_EVERYWHERE = Policy(
     backbone_compute_dtype=jnp.bfloat16, head_compute_dtype=jnp.bfloat16
 )
+INT8_BACKBONE = Policy(quantize_backbone=True)
 
 
 def policy_from_name(name: str) -> Policy:
@@ -41,4 +45,5 @@ def policy_from_name(name: str) -> Policy:
         "f32": STRICT_F32,
         "strict_f32": STRICT_F32,
         "bf16_all": BF16_EVERYWHERE,
+        "int8": INT8_BACKBONE,
     }[name]

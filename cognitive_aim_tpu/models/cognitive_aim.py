@@ -140,6 +140,20 @@ class CognitiveAimModel:
         params["confidence_head"] = conf
         return params
 
+    def prepare_params(self, params: Dict) -> Dict:
+        """Post-load parameter transform for the active policy: quantizes the
+        backbone dense projections to int8 when policy.quantize_backbone.
+        Call after init()/checkpoint load, before inference."""
+        if not self.policy.quantize_backbone:
+            return params
+        from cognitive_aim_tpu.kernels.int8_ops import quantize_backbone_layers
+
+        out = dict(params)
+        backbone = dict(params["backbone"])
+        backbone["layers"] = quantize_backbone_layers(backbone["layers"])
+        out["backbone"] = backbone
+        return out
+
     # ------------------------------------------------------------ apply ----
     def apply(
         self,

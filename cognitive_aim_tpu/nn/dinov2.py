@@ -145,6 +145,10 @@ def interpolate_pos_embed(pos_embed, cfg: DinoV2Config, grid_h: int, grid_w: int
 
 
 # --------------------------------------------------------------- forward ----
+def _has_wq(layer_params) -> bool:
+    return isinstance(layer_params.get("fc1"), dict) and "wq" in layer_params["fc1"]
+
+
 def patchify(images, patch: int):
     """[B, H, W, 3] -> [B, (H/p)*(W/p), p*p*3], ordering identical to a
     stride-p conv + flatten (channel-fastest within each patch to match the
@@ -154,6 +158,16 @@ def patchify(images, patch: int):
     x = images.reshape(B, gh, patch, gw, patch, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # B gh gw p p C
     return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def _lin(p, x):
+    """Dense projection: f32/bf16 matmul, or the int8 MXU path when the
+    weight has been quantized (kernels/int8_ops.quantize_backbone_layers)."""
+    if "wq" in p:
+        from cognitive_aim_tpu.kernels.int8_ops import int8_linear
+
+        return int8_linear(x, p["wq"], p.get("b"))
+    return L.linear_apply(p, x)
 
 
 def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
@@ -166,9 +180,9 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
         k = k.reshape(B, N, H, hd)
         v = v.reshape(B, N, H, hd)
     else:
-        q = L.linear_apply(p["q"], x).reshape(B, N, H, hd)
-        k = L.linear_apply(p["k"], x).reshape(B, N, H, hd)
-        v = L.linear_apply(p["v"], x).reshape(B, N, H, hd)
+        q = _lin(p["q"], x).reshape(B, N, H, hd)
+        k = _lin(p["k"], x).reshape(B, N, H, hd)
+        v = _lin(p["v"], x).reshape(B, N, H, hd)
     if attn_impl == "pallas":
         from cognitive_aim_tpu.kernels.flash_attention import flash_attention
 
@@ -181,7 +195,7 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bqhd", probs, v)
     ctx = ctx.reshape(B, N, D)
-    out = L.linear_apply(p["attn_out"], ctx)
+    out = _lin(p["attn_out"], ctx)
     if cfg.use_lora and "lora_A" in p:
         scaling = cfg.lora_alpha / cfg.lora_rank
         out = out + scaling * ((ctx @ p["lora_A"].T) @ p["lora_B"].T)
@@ -192,7 +206,7 @@ def _block(p, x, cfg: DinoV2Config, attn_impl: str):
     h = L.layernorm_apply(p["norm1"], x, cfg.layer_norm_eps)
     x = x + p["ls1"] * _mhsa(p, h, cfg, attn_impl)
     h = L.layernorm_apply(p["norm2"], x, cfg.layer_norm_eps)
-    h = L.linear_apply(p["fc2"], L.gelu(L.linear_apply(p["fc1"], h)))
+    h = _lin(p["fc2"], L.gelu(_lin(p["fc1"], h)))
     x = x + p["ls2"] * h
     return x
 
@@ -231,8 +245,20 @@ def apply(
     pos = interpolate_pos_embed(params["pos_embed"], cfg, gh, gw)
     x = x + pos.astype(compute_dtype)
 
-    layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
-    if fuse_qkv:
+    def _cast(a):
+        # int8 weights and their f32 scales pass through untouched
+        if a.dtype == jnp.int8:
+            return a
+        return a.astype(compute_dtype)
+
+    layers = jax.tree_util.tree_map_with_path(
+        lambda path, a: a
+        if any(getattr(p, "key", None) == "wq" for p in path)
+        else _cast(a),
+        params["layers"],
+    )
+    quantized = _has_wq(params["layers"])
+    if fuse_qkv and not quantized:
         # concatenate q/k/v into one [L, D, 3D] weight — same math, one MXU
         # call instead of three narrow ones
         layers = dict(layers)

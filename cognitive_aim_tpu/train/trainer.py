@@ -148,6 +148,9 @@ class Trainer:
         self.params = shard_params(self.mesh, params, cfg.tensor_parallel)
         self.opt_state = self.tx.init(self.params)
         self._step_fn = self._build_step()
+        self._eval_fn = jax.jit(
+            lambda p, images, exif, key: self.model.apply(p, images, exif, rng=key)
+        )
         self._global_step = 0
 
     def _schedule(self):
@@ -252,8 +255,8 @@ class Trainer:
         preds, targets = [], []
         for batch in loader:
             db = self._device_batch(batch)
-            out = self.model.apply(self.params, db["images"], db.get("exif"),
-                                   rng=jax.random.PRNGKey(0))
+            out = self._eval_fn(self.params, db["images"], db.get("exif"),
+                                jax.random.PRNGKey(0))
             pred = np.asarray(out.depth[:, 0])
             target = np.asarray(scalar_depth_target(db["depths"]))
             total += float(
