@@ -183,6 +183,7 @@ class CognitiveAimModel:
             params["backbone"], images, self.vit_cfg,
             compute_dtype=self.policy.backbone_compute_dtype,
             attn_impl=self.attn_impl,
+            remat=train,  # per-block activation remat for training memory
         ).astype(jnp.float32)
         cls_token = hs[:, 0]
         patches = hs[:, 1:]

@@ -220,6 +220,7 @@ def apply(
     attn_impl: str = "xla",
     fuse_qkv: bool = True,
     unroll: int = 1,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Forward pass.
 
@@ -271,8 +272,18 @@ def apply(
         for key in ("q", "k", "v"):
             del layers[key]
 
+    block = _block
+    if remat:
+        # recompute activations in the backward pass — trades ~30% FLOPs for
+        # O(layers) activation memory (jax.checkpoint per block; SURVEY.md
+        # HBM-bandwidth note). Enables batch-128 @518^2 training on one chip.
+        block = jax.checkpoint(
+            _block, static_argnums=(2, 3),
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )
+
     def body(carry, layer_params):
-        return _block(layer_params, carry, cfg, attn_impl), None
+        return block(layer_params, carry, cfg, attn_impl), None
 
     x, _ = jax.lax.scan(body, x, layers, unroll=unroll)
     x = L.layernorm_apply(
