@@ -41,19 +41,25 @@ def quantize_activations(x: jnp.ndarray):
     return q, s
 
 
-def int8_linear(x: jnp.ndarray, wq: dict, b: jnp.ndarray | None, out_dtype=None):
-    """y = dequant(quant(x) @ wq) + b; int32 accumulation on the MXU."""
-    out_dtype = out_dtype or x.dtype
-    xq, sx = quantize_activations(x)
+def int8_matmul_prequant(xq, sx, wq: dict, b, out_dtype):
+    """int8 GEMM on pre-quantized activations (share one quantization across
+    q/k/v — the reference-architecture MHSA projects the same input 3x)."""
     acc = jax.lax.dot_general(
         xq, wq["q"],
-        (((x.ndim - 1,), (0,)), ((), ())),
+        (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
     y = acc.astype(jnp.float32) * sx * wq["s"]
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(out_dtype)
+
+
+def int8_linear(x: jnp.ndarray, wq: dict, b: jnp.ndarray | None, out_dtype=None):
+    """y = dequant(quant(x) @ wq) + b; int32 accumulation on the MXU."""
+    out_dtype = out_dtype or x.dtype
+    xq, sx = quantize_activations(x)
+    return int8_matmul_prequant(xq, sx, wq, b, out_dtype)
 
 
 def quantize_backbone_layers(layer_params: dict) -> dict:

@@ -179,6 +179,17 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
         q = q.reshape(B, N, H, hd)
         k = k.reshape(B, N, H, hd)
         v = v.reshape(B, N, H, hd)
+    elif "wq" in p["q"]:
+        # quantize the shared input once for all three projections
+        from cognitive_aim_tpu.kernels import int8_ops as I8
+
+        xq, sx = I8.quantize_activations(x)
+        q = I8.int8_matmul_prequant(xq, sx, p["q"]["wq"], p["q"].get("b"), x.dtype)
+        k = I8.int8_matmul_prequant(xq, sx, p["k"]["wq"], p["k"].get("b"), x.dtype)
+        v = I8.int8_matmul_prequant(xq, sx, p["v"]["wq"], p["v"].get("b"), x.dtype)
+        q = q.reshape(B, N, H, hd)
+        k = k.reshape(B, N, H, hd)
+        v = v.reshape(B, N, H, hd)
     else:
         q = _lin(p["q"], x).reshape(B, N, H, hd)
         k = _lin(p["k"], x).reshape(B, N, H, hd)
