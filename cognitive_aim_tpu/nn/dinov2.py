@@ -173,6 +173,30 @@ def _lin(p, x):
 def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
     B, N, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
+    if attn_impl == "pallas_packed":
+        # packed kernel consumes [B, N, H*D] directly — no head transpose
+        from cognitive_aim_tpu.kernels.flash_attention import flash_attention_packed
+
+        if "wq" in p.get("q", {}):
+            from cognitive_aim_tpu.kernels import int8_ops as I8
+
+            xq, sx = I8.quantize_activations(x)
+            qp = I8.int8_matmul_prequant(xq, sx, p["q"]["wq"], p["q"].get("b"), x.dtype)
+            kp = I8.int8_matmul_prequant(xq, sx, p["k"]["wq"], p["k"].get("b"), x.dtype)
+            vp = I8.int8_matmul_prequant(xq, sx, p["v"]["wq"], p["v"].get("b"), x.dtype)
+        elif "qkv_w" in p:
+            qkv = x @ p["qkv_w"] + p["qkv_b"]
+            qp, kp, vp = jnp.split(qkv, 3, axis=-1)
+        else:
+            qp = L.linear_apply(p["q"], x)
+            kp = L.linear_apply(p["k"], x)
+            vp = L.linear_apply(p["v"], x)
+        ctx = flash_attention_packed(qp, kp, vp, scale=hd**-0.5, num_heads=H)
+        out = _lin(p["attn_out"], ctx)
+        if cfg.use_lora and "lora_A" in p:
+            scaling = cfg.lora_alpha / cfg.lora_rank
+            out = out + scaling * ((ctx @ p["lora_A"].T) @ p["lora_B"].T)
+        return out
     if "qkv_w" in p:  # fused projection: one [D, 3D] MXU matmul
         qkv = x @ p["qkv_w"] + p["qkv_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)

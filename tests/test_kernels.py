@@ -56,3 +56,50 @@ def test_flash_attention_matches_dinov2_path(monkeypatch):
     a = dinov2.apply(params, x, cfg, attn_impl="xla")
     b = dinov2.apply(params, x, cfg, attn_impl="pallas")
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-4)
+
+
+@pytest.mark.parametrize("N", [257, 1370])
+def test_flash_packed_interpret_matches_reference(N, monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    B, H, D = 1, 4, 64
+    q, k, v = _qkv(B=B, N=N, H=H, D=D)
+    scale = D**-0.5
+    want = FA.attention_reference(q, k, v, scale).reshape(B, N, H * D)
+    qp = q.reshape(B, N, H * D)
+    kp = k.reshape(B, N, H * D)
+    vp = v.reshape(B, N, H * D)
+    got = FA.flash_attention_packed(qp, kp, vp, scale=scale, num_heads=H,
+                                    q_block=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5,
+                               rtol=2e-4)
+
+
+def test_packed_dinov2_path(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    from cognitive_aim_tpu.nn import dinov2
+
+    cfg = dinov2.DinoV2Config(hidden_size=64, num_layers=2, num_heads=4,
+                              patch_size=14, pretrain_image_size=56)
+    params = dinov2.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    a = dinov2.apply(params, x, cfg, attn_impl="xla")
+    b = dinov2.apply(params, x, cfg, attn_impl="pallas_packed")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-4)
