@@ -78,7 +78,8 @@ class CognitiveAimModel:
         self.policy = policy
         self.attn_impl = attn_impl
         self.vit_cfg = vit_cfg or dinov2.config_for(
-            arch.backbone_size, use_lora=arch.use_lora, lora_rank=arch.lora_rank
+            arch.backbone_size, use_lora=arch.use_lora, lora_rank=arch.lora_rank,
+            gelu_approx=policy.fast_gelu,
         )
         # stream/curiosity widths follow the backbone hidden size (the
         # reference hardcodes 768 even for 'large', where its curiosity call

@@ -53,6 +53,10 @@ class DinoV2Config:
     use_lora: bool = False
     lora_rank: int = 16
     lora_alpha: int = 16
+    # tanh-approx GELU: ~6x faster on the VPU than HF's exact erf GELU
+    # (measured 450 vs 71 Gelem/s on v5e); max deviation ~3e-4 per
+    # activation. Parity policies keep exact erf.
+    gelu_approx: bool = False
 
     @property
     def head_dim(self):
@@ -241,7 +245,9 @@ def _block(p, x, cfg: DinoV2Config, attn_impl: str):
     h = L.layernorm_apply(p["norm1"], x, cfg.layer_norm_eps)
     x = x + p["ls1"] * _mhsa(p, h, cfg, attn_impl)
     h = L.layernorm_apply(p["norm2"], x, cfg.layer_norm_eps)
-    h = _lin(p["fc2"], L.gelu(_lin(p["fc1"], h)))
+    h = _lin(p["fc1"], h)
+    h = jax.nn.gelu(h, approximate=cfg.gelu_approx)
+    h = _lin(p["fc2"], h)
     x = x + p["ls2"] * h
     return x
 
