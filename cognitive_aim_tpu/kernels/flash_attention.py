@@ -124,21 +124,24 @@ def _flash_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads,
     q = q_ref[0]  # [bq, H*D]
     k = k_ref[0]  # [Nk, H*D] (edge-padded by Mosaic)
     v = v_ref[0]
-    bq = q.shape[0]
     nk = k.shape[0]
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, nk), dimension=1)
-    valid = kidx < n_valid
+    # additive key mask (one row, computed once): cheaper per-head than a
+    # select over the full [bq, nk] score block
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, nk), dimension=1)
+    kbias = jnp.where(kidx < n_valid, 0.0, NEG_INF).astype(jnp.float32)
 
     for h in range(num_heads):  # static unroll; lane-aligned 64-wide slices
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        s = jnp.where(valid, s, NEG_INF)
-        p = jax.nn.softmax(s, axis=-1)
+        ) * scale + kbias
+        m = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = 1.0 / e.sum(axis=-1, keepdims=True)
+        p = (e * r).astype(vh.dtype)
         o_ref[0, :, sl] = jax.lax.dot_general(
-            p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+            p, vh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(o_ref.dtype)
 

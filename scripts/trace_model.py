@@ -6,7 +6,7 @@ from cognitive_aim_tpu.models.config import ModelArchConfig
 from cognitive_aim_tpu.core.precision import policy_from_name
 
 arch = ModelArchConfig(num_iterations=3, image_size=518)
-model = CognitiveAimModel(arch, policy=policy_from_name('int8'), attn_impl='pallas')
+model = CognitiveAimModel(arch, policy=policy_from_name('int8'), attn_impl='pallas_packed')
 params = model.prepare_params(model.init(jax.random.PRNGKey(0)))
 B, S = 8, 518
 x = jnp.asarray(np.random.RandomState(0).randn(B, S, S, 3).astype(np.float32))
