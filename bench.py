@@ -102,8 +102,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8, help="0 = sweep")
     ap.add_argument("--size", type=int, default=518)
-    ap.add_argument("--policy", type=str, default="default")
-    ap.add_argument("--attn", type=str, default="pallas")
+    ap.add_argument("--policy", type=str, default="int8")
+    ap.add_argument("--attn", type=str, default="pallas_packed")
     ap.add_argument("--k-short", type=int, default=2)
     ap.add_argument("--k-long", type=int, default=10)
     args = ap.parse_args()

@@ -31,8 +31,8 @@ def main():
     parser.add_argument("--all-instructions", action="store_true",
                         help="Run all 9 instructions in one batched call")
     parser.add_argument("--policy", type=str, default="default",
-                        choices=["default", "bf16", "f32", "bf16_all"])
-    parser.add_argument("--attn", type=str, default="xla", choices=["xla", "pallas"])
+                        choices=["default", "bf16", "f32", "bf16_all", "int8"])
+    parser.add_argument("--attn", type=str, default="pallas_packed", choices=["xla", "pallas", "pallas_packed"])
     parser.add_argument("--lookup", type=str, default="reference",
                         choices=["reference", "nested"],
                         help="config-key lookup semantics (see models/config.py)")

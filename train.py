@@ -27,7 +27,7 @@ def main():
     parser.add_argument("--batch_size", type=int, default=None, help="override batch size")
     parser.add_argument("--tensor-parallel", action="store_true")
     parser.add_argument("--policy", type=str, default="default")
-    parser.add_argument("--attn", type=str, default="xla", choices=["xla", "pallas"])
+    parser.add_argument("--attn", type=str, default="pallas_packed", choices=["xla", "pallas", "pallas_packed"])
     parser.add_argument("--lookup", type=str, default="nested",
                         choices=["reference", "nested"],
                         help="config lookup semantics; training defaults to "
