@@ -260,6 +260,54 @@ class CognitiveAimInference:
                 )
         return results
 
+    def predict_paths_batched(
+        self,
+        image_paths: List[str],
+        instruction: Optional[str] = None,
+        batch_size: int = 16,
+        mesh=None,
+    ) -> List[Tuple[float, float]]:
+        """Production serving path: native C++ loader (threaded decode+resize,
+        io/native) -> device batches, optionally DP-sharded over a mesh.
+        Returns [(depth, confidence)] per path ((nan, nan) for failed decodes);
+        skips per-image PNG artifacts."""
+        from cognitive_aim_tpu.io.native_loader import decode_resize_batch
+        from cognitive_aim_tpu.parallel.sharding import shard_batch
+
+        gi = None if instruction is None else G.instruction_index(instruction)
+        results: List[Tuple[float, float]] = []
+        for start in range(0, len(image_paths), batch_size):
+            chunk = image_paths[start : start + batch_size]
+            imgs, ok = decode_resize_batch(chunk, self.image_size, self.image_size)
+            n = len(chunk)
+            exif = {
+                "camera_idx": np.zeros(n, np.int32),
+                "focal_length": np.full(n, 50.0, np.float32),
+                "aperture": np.full(n, 2.8, np.float32),
+                "iso": np.full(n, 100.0, np.float32),
+            }
+            xb = jnp.asarray(imgs)
+            eb = {k: jnp.asarray(v) for k, v in exif.items()}
+            if mesh is not None:
+                sharded = shard_batch(mesh, {"images": xb, **eb})
+                xb = sharded["images"]
+                eb = {k: sharded[k] for k in eb}
+            if gi is not None:
+                out = self._guided(
+                    self.params, xb, eb,
+                    jnp.full((n,), gi, jnp.int32), self._next_key(),
+                )
+            else:
+                out = self._unguided(self.params, xb, eb, self._next_key())
+            d = np.asarray(out.depth[:, 0])
+            c = np.asarray(out.confidence[:, 0])
+            for i in range(n):
+                if ok[i]:
+                    results.append((float(d[i]), float(c[i])))
+                else:
+                    results.append((float("nan"), float("nan")))
+        return results
+
     # ------------------------------------------------------------- misc ----
     def save_results(self, results: List[Tuple], output_path: str):
         """JSON writer with fraction handling (ref:demo.py:434-469)."""

@@ -208,6 +208,41 @@ class DataLoader:
             yield collate([self.dataset[int(i)] for i in chunk])
 
 
+class PrefetchLoader:
+    """Background-thread prefetch wrapper: overlaps host-side decode/augment
+    with device compute (the reference relies on torch DataLoader workers,
+    ref:src/dataset.py:219; here a bounded queue + one producer thread)."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        END = object()
+
+        def produce():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(END)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is END:
+                return
+            yield item
+
+
 def create_dataloaders(data_dir: str, config: Dict, batch_size: Optional[int] = None,
                        seed: int = 0):
     """ref:src/dataset.py:215-258, with config-key fallbacks the reference
@@ -227,7 +262,9 @@ def create_dataloaders(data_dir: str, config: Dict, batch_size: Optional[int] = 
 
     train_ds = DepthDataset(data_dir, "train", image_size, use_exif, augment, seed)
     val_ds = DepthDataset(data_dir, "val", image_size, use_exif, False, seed)
-    train_loader = DataLoader(train_ds, batch_size, shuffle=True, drop_last=True,
-                              seed=seed)
+    train_loader = PrefetchLoader(
+        DataLoader(train_ds, batch_size, shuffle=True, drop_last=True, seed=seed)
+    )
+    train_loader.dataset = train_ds
     val_loader = DataLoader(val_ds, batch_size, shuffle=False)
     return train_loader, val_loader

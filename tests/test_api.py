@@ -101,3 +101,12 @@ def test_save_results_json(engine, image, tmp_path):
     data = json.load(open(out))
     assert data[0]["depth_value"] > 0
     assert data[0]["metadata"]["instruction"] == "top-left"
+
+
+def test_predict_paths_batched(engine, image):
+    eng, _ = engine
+    res = eng.predict_paths_batched([image, image, "/nope.jpg"], "center",
+                                    batch_size=2)
+    assert len(res) == 3
+    assert res[0] == res[1] and res[0][0] > 0
+    assert np.isnan(res[2][0])

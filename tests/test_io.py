@@ -117,3 +117,14 @@ def test_npz_checkpoint_roundtrip():
     merged, loaded, skipped = filter_and_merge(tree, back)
     assert loaded == 3 and skipped == 0
     np.testing.assert_array_equal(merged["list"][1]["x"], tree["list"][1]["x"])
+
+
+def test_prefetch_loader(data_dir):
+    from cognitive_aim_tpu.io.dataset import DataLoader, DepthDataset, PrefetchLoader
+
+    ds = DepthDataset(data_dir, "train", (32, 32), use_exif=False)
+    base = DataLoader(ds, batch_size=2)
+    pf = PrefetchLoader(base)
+    assert len(pf) == len(base)
+    batches = list(pf)
+    assert sum(b["images"].shape[0] for b in batches) == len(ds)
