@@ -166,8 +166,16 @@ def patchify(images, patch: int):
 
 def _lin(p, x):
     """Dense projection: f32/bf16 matmul, or the int8 MXU path when the
-    weight has been quantized (kernels/int8_ops.quantize_backbone_layers)."""
+    weight has been quantized (kernels/int8_ops.quantize_backbone_layers).
+    On TPU the int8 path uses the fused Pallas GEMM (in-VMEM quantization,
+    one HBM pass); elsewhere the XLA fallback."""
     if "wq" in p:
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            from cognitive_aim_tpu.kernels.int8_gemm import int8_linear_fused
+
+            return int8_linear_fused(x, p["wq"], p.get("b"))
         from cognitive_aim_tpu.kernels.int8_ops import int8_linear
 
         return int8_linear(x, p["wq"], p.get("b"))
@@ -181,7 +189,13 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
         # packed kernel consumes [B, N, H*D] directly — no head transpose
         from cognitive_aim_tpu.kernels.flash_attention import flash_attention_packed
 
-        if "wq" in p.get("q", {}):
+        if "qkv_i8" in p:
+            # fused int8 qkv: one in-VMEM-quantizing GEMM over [D, 3D]
+            from cognitive_aim_tpu.kernels.int8_gemm import int8_linear_fused
+
+            qkv = int8_linear_fused(x, p["qkv_i8"]["wq"], p["qkv_i8"]["b"])
+            qp, kp, vp = jnp.split(qkv, 3, axis=-1)
+        elif "wq" in p.get("q", {}):
             from cognitive_aim_tpu.kernels import int8_ops as I8
 
             xq, sx = I8.quantize_activations(x)
@@ -300,6 +314,23 @@ def apply(
         params["layers"],
     )
     quantized = _has_wq(params["layers"])
+    if quantized and attn_impl == "pallas_packed" and jax.default_backend() == "tpu":
+        # fuse the int8 qkv weights/scales/biases into one [L, D, 3D] GEMM
+        layers = dict(layers)
+        layers["qkv_i8"] = {
+            "wq": {
+                "q": jnp.concatenate(
+                    [layers[n]["wq"]["q"] for n in ("q", "k", "v")], axis=-1
+                ),
+                "s": jnp.concatenate(
+                    [layers[n]["wq"]["s"] for n in ("q", "k", "v")], axis=-1
+                ),
+            },
+            "b": jnp.concatenate(
+                [layers[n]["b"].astype(jnp.float32) for n in ("q", "k", "v")],
+                axis=-1,
+            ),
+        }
     if fuse_qkv and not quantized:
         # concatenate q/k/v into one [L, D, 3D] weight — same math, one MXU
         # call instead of three narrow ones

@@ -39,3 +39,31 @@ def test_int8_backbone_close_to_f32():
         np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-9
     )
     assert cos.min() > 0.995, float(cos.min())
+
+
+def test_int8_gemm_fused_interpret(monkeypatch):
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    from cognitive_aim_tpu.kernels.int8_gemm import int8_gemm_fused
+
+    rng = np.random.RandomState(0)
+    M, K, N = 300, 256, 128  # non-divisible M exercises edge blocks
+    x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+    w = jnp.asarray(rng.randn(K, N).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(N).astype(np.float32) * 0.01)
+    wq = quantize_weight(w)
+    want = np.asarray(x @ w + b)
+    got = np.asarray(
+        int8_gemm_fused(x, wq["q"], wq["s"], b, m_block=128,
+                        out_dtype=jnp.float32)
+    )
+    rel = np.abs(got - want) / (np.abs(want) + 1e-2)
+    assert np.median(rel) < 0.02, float(np.median(rel))
