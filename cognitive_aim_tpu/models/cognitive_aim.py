@@ -76,6 +76,8 @@ class CognitiveAimModel:
     ):
         self.arch = arch
         self.policy = policy
+        if attn_impl.startswith("pallas") and jax.default_backend() != "tpu":
+            attn_impl = "xla"  # Pallas kernels compile only for TPU
         self.attn_impl = attn_impl
         self.vit_cfg = vit_cfg or dinov2.config_for(
             arch.backbone_size, use_lora=arch.use_lora, lora_rank=arch.lora_rank,

@@ -336,6 +336,40 @@ class Trainer:
         )
 
     def load_checkpoint(self, path: str):
+        if path.endswith((".pth", ".pt")):
+            # reference torch checkpoint (ref:train.py:326-333 restores model/
+            # optimizer/scheduler; optimizer state is torch-specific so only
+            # model params transfer — optimizer restarts fresh)
+            from cognitive_aim_tpu.api import CognitiveAimInference  # noqa: F401
+            from cognitive_aim_tpu.io import checkpoint_torch as ct
+
+            sd = ct.load_torch_file(path)
+            incoming = {}
+            try:
+                incoming["backbone"] = ct.convert_backbone(sd, "backbone.")
+            except KeyError:
+                pass
+            for name, fn in (
+                ("ambient_stream", lambda: ct.convert_ambient(sd)),
+                ("focal_stream", lambda: ct.convert_iterative_focal(sd)),
+                ("exif_prior", lambda: ct.convert_exif_prior(sd)),
+                ("curiosity_module", lambda: ct.convert_curiosity(sd)),
+            ):
+                try:
+                    incoming[name] = fn()
+                except KeyError:
+                    pass
+            try:
+                incoming.update(ct.convert_heads(sd))
+            except KeyError:
+                pass
+            merged, loaded, skipped = ct.filter_and_merge(self.params, incoming)
+            self.params = shard_params(self.mesh, merged, self.cfg.tensor_parallel)
+            self.opt_state = self.tx.init(self.params)
+            print(f"Resumed model params from torch ckpt {path}: "
+                  f"{loaded} tensors ({skipped} skipped); optimizer reset")
+            return
+
         from cognitive_aim_tpu.api import unflatten_npz
 
         data = np.load(path)

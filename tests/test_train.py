@@ -166,3 +166,27 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t1.params),
                     jax.tree_util.tree_leaves(t2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_from_torch_checkpoint(tmp_path):
+    """--resume with a reference-format .pth restores model params."""
+    import torch
+
+    from conftest import import_reference_model
+
+    ref = import_reference_model()
+    torch.manual_seed(0)
+    tm_ambient = ref.AmbientStream(64).eval()
+    sd = {f"ambient_stream.{k}": v for k, v in tm_ambient.state_dict().items()}
+    path = str(tmp_path / "ref.pth")
+    torch.save({"model_state_dict": sd}, path)
+
+    model, params = tiny_model()
+    cfg = TrainConfig(epochs=1, steps_per_epoch=5, freeze_backbone=False)
+    t = Trainer(model, params, cfg, output_dir=str(tmp_path))
+    before = np.asarray(t.params["ambient_stream"]["mlp"]["fc0"]["w"]).copy()
+    t.load_checkpoint(path)
+    after = np.asarray(t.params["ambient_stream"]["mlp"]["fc0"]["w"])
+    want = tm_ambient.state_dict()["mlp.0.weight"].numpy().T
+    np.testing.assert_allclose(after, want, atol=1e-6)
+    assert np.abs(after - before).max() > 0
