@@ -324,14 +324,16 @@ class CognitiveAimModel:
     # --------------------------------------------------------- training ----
     def compute_curiosity_loss(
         self, params, features, exif_data=None, *, loss_type="robust",
-        uncertainty_weight=0.1, rng=None, noise_mode=NoiseMode.SAMPLE,
+        uncertainty_weight=0.1, kl_weight=0.1, rng=None,
+        noise_mode=NoiseMode.SAMPLE,
     ):
         """ref:src/model.py:1432-1454 — curiosity over fused/backbone features
-        WITH exif (geometric term active)."""
+        WITH exif (geometric term active). kl_weight supports the configs'
+        variational beta schedule (train/schedules.py)."""
         reward, _, comps = C.curiosity_apply(
             params["curiosity_module"], features, exif_data,
             loss_type=loss_type, uncertainty_weight=uncertainty_weight,
-            rng=rng, noise_mode=noise_mode,
+            kl_weight=kl_weight, rng=rng, noise_mode=noise_mode,
         )
         return reward, comps
 

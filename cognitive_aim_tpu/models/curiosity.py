@@ -51,6 +51,8 @@ def curiosity_apply(
     *,
     loss_type: str = "robust",
     uncertainty_weight: float = 0.1,
+    kl_weight=0.1,  # ref hardcodes 0.1 (ref:646); configs declare a beta
+    # schedule (variational_params.beta_schedule) honored by the trainer
     rng=None,
     train=False,
     noise_mode: NoiseMode = NoiseMode.SAMPLE,
@@ -93,7 +95,7 @@ def curiosity_apply(
     rec_err = jnp.clip(rec_err, 0.0)
     kl = jnp.clip(kl, 0.0)
     unc = jnp.clip(unc, 0.0, 10.0)
-    basic = rec_err + 0.1 * kl + uncertainty_weight * unc
+    basic = rec_err + kl_weight * kl + uncertainty_weight * unc
 
     components = {
         "reconstruction_error": rec_err,
