@@ -16,7 +16,6 @@ Differences by design:
 from __future__ import annotations
 
 import json
-from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import jax

@@ -30,7 +30,7 @@ weights and checks outputs to ~1e-5 in f32.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -88,6 +88,32 @@ def main():
     if args.batch_size is not None:
         tcfg.batch_size = args.batch_size
 
+    from cognitive_aim_tpu.utils.logging import count_parameters, get_model_size_mb
+
+    total, _ = count_parameters(params)
+    logger.info(f"Model: {total:,} parameters, {get_model_size_mb(params):.1f} MB "
+                f"(backbone {'frozen' if arch.freeze_backbone else 'trainable'}, "
+                f"lora={'on' if arch.use_lora else 'off'})")
+    # training summary report (ref:src/utils.py:209-249, real schema)
+    with open(os.path.join(args.output_dir, "training_summary.md"), "w") as f:
+        f.write(
+            f"# Training Summary\n\n"
+            f"- Backbone: dinov2-{arch.backbone_size} "
+            f"({'frozen' if arch.freeze_backbone else 'trainable'}, "
+            f"LoRA {'on' if arch.use_lora else 'off'})\n"
+            f"- Cognitive modules: ambient={arch.use_ambient} "
+            f"focal={arch.use_focal}(iter={arch.num_iterations}) "
+            f"exif={arch.use_exif} curiosity={arch.use_curiosity}\n"
+            f"- Parameters: {total:,} ({get_model_size_mb(params):.1f} MB)\n"
+            f"- Epochs: {tcfg.epochs}, batch {tcfg.batch_size} "
+            f"(accum {tcfg.accumulation_steps}), lr {tcfg.learning_rate}, "
+            f"wd {tcfg.weight_decay}, scheduler {tcfg.scheduler}\n"
+            f"- Image size: {arch.image_size}\n"
+            f"- Mesh: {jax.device_count()} device(s), "
+            f"tp={'on' if tcfg.tensor_parallel else 'off'}\n"
+            f"- Seed: {seed}\n"
+        )
+
     trainer = Trainer(model, params, tcfg, output_dir=args.output_dir, writer=writer)
     if args.resume:
         trainer.load_checkpoint(args.resume)
