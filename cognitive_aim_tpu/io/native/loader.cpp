@@ -168,7 +168,74 @@ void resize_normalize(const ImageU8& img, int out_h, int out_w, float* dst,
 
 }  // namespace
 
+namespace {
+
+// u8 variant: resized RGB bytes (for minimal host->device transfer; the
+// device fuses /255 + ImageNet normalization into the jitted forward)
+void resize_u8(const ImageU8& img, int out_h, int out_w, unsigned char* dst) {
+  const float sy = float(img.h) / out_h;
+  const float sx = float(img.w) / out_w;
+  for (int y = 0; y < out_h; ++y) {
+    float srcy = (y + 0.5f) * sy - 0.5f;
+    int y0 = int(std::floor(srcy));
+    float ty = srcy - y0;
+    int y0c = y0 < 0 ? 0 : (y0 >= img.h ? img.h - 1 : y0);
+    int y1 = y0 + 1;
+    int y1c = y1 < 0 ? 0 : (y1 >= img.h ? img.h - 1 : y1);
+    const unsigned char* r0 = img.data.data() + size_t(y0c) * img.w * 3;
+    const unsigned char* r1 = img.data.data() + size_t(y1c) * img.w * 3;
+    unsigned char* orow = dst + size_t(y) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      float src = (x + 0.5f) * sx - 0.5f;
+      int x0 = int(std::floor(src));
+      float tx = src - x0;
+      int xa = (x0 < 0 ? 0 : (x0 >= img.w ? img.w - 1 : x0)) * 3;
+      int x1 = x0 + 1;
+      int xb = (x1 < 0 ? 0 : (x1 >= img.w ? img.w - 1 : x1)) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float top = r0[xa + c] * (1.f - tx) + r0[xb + c] * tx;
+        float bot = r1[xa + c] * (1.f - tx) + r1[xb + c] * tx;
+        float v = top * (1.f - ty) + bot * ty;
+        orow[x * 3 + c] = (unsigned char)(v + 0.5f);
+      }
+    }
+  }
+}
+
+}  // namespace
+
 extern "C" {
+
+int caim_decode_resize_batch_u8(const char** paths, int n, int out_h,
+                                int out_w, unsigned char* out,
+                                unsigned char* ok, int n_threads) {
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = n;
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> n_ok(0);
+  const size_t stride = size_t(out_h) * out_w * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      ImageU8 img;
+      if (decode_file(paths[i], &img)) {
+        resize_u8(img, out_h, out_w, out + stride * i);
+        ok[i] = 1;
+        n_ok.fetch_add(1);
+      } else {
+        memset(out + stride * i, 0, stride);
+        ok[i] = 0;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return n_ok.load();
+}
 
 int caim_decode_resize_batch(const char** paths, int n, int out_h, int out_w,
                              float* out, unsigned char* ok, int n_threads,

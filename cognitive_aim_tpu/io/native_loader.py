@@ -52,6 +52,16 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.caim_decode_resize_batch_u8.restype = ctypes.c_int
+    lib.caim_decode_resize_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -101,3 +111,43 @@ def decode_resize_batch(
         1 if normalize else 0,
     )
     return out, ok.astype(bool)
+
+
+def decode_resize_batch_u8(
+    paths: List[str], out_h: int, out_w: int, n_threads: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """uint8 variant: (batch [N, H, W, 3] u8, ok [N] bool) — 4x less
+    host->device transfer; normalize on-device with `normalize_u8_on_device`."""
+    lib = _ensure_built()
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    ok = np.zeros(n, np.uint8)
+    if lib is None:
+        from cognitive_aim_tpu.io.preprocess import load_image_uint8, pil_resize_host
+
+        for i, p in enumerate(paths):
+            try:
+                img = pil_resize_host(load_image_uint8(p), out_h, out_w)
+                out[i] = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                ok[i] = 1
+            except Exception:
+                out[i] = 0
+        return out, ok.astype(bool)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.caim_decode_resize_batch_u8(
+        c_paths, n, out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n_threads,
+    )
+    return out, ok.astype(bool)
+
+
+def normalize_u8_on_device(images_u8):
+    """jit-fusable device-side /255 + ImageNet normalization."""
+    import jax.numpy as jnp
+
+    from cognitive_aim_tpu.io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    x = images_u8.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)

@@ -29,7 +29,7 @@ import jax, jax.numpy as jnp
 from cognitive_aim_tpu.core.precision import policy_from_name
 from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
 from cognitive_aim_tpu.models.config import ModelArchConfig
-from cognitive_aim_tpu.io.native_loader import decode_resize_batch, available
+from cognitive_aim_tpu.io.native_loader import decode_resize_batch_u8 as decode_resize_batch, available, normalize_u8_on_device
 
 print("native loader available:", available(), file=sys.stderr)
 arch = ModelArchConfig(num_iterations=3, image_size=args.size)
@@ -41,7 +41,7 @@ exif = {"camera_idx": jnp.zeros((B,), jnp.int32), "focal_length": jnp.full((B,),
         "aperture": jnp.full((B,), 2.8), "iso": jnp.full((B,), 100.0)}
 gidx = jnp.zeros((B,), jnp.int32)
 key = jax.random.PRNGKey(0)
-fwd = jax.jit(lambda p, x: model.apply(p, x, exif, guidance=gidx, rng=key).depth)
+fwd = jax.jit(lambda p, x: model.apply(p, normalize_u8_on_device(x), exif, guidance=gidx, rng=key).depth)
 
 # warmup/compile
 imgs, ok = decode_resize_batch(paths[:B], args.size, args.size)

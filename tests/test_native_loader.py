@@ -48,3 +48,17 @@ def test_bad_path(images):
     out, ok = native_loader.decode_resize_batch(paths, 32, 32)
     assert ok[0] and not ok[1]
     assert np.all(out[1] == 0.0)
+
+
+def test_decode_u8_matches_f32(images):
+    paths = list(images)
+    u8, ok = native_loader.decode_resize_batch_u8(paths, 48, 64)
+    assert ok.all()
+    f32, _ = native_loader.decode_resize_batch(paths, 48, 64, normalize=False)
+    np.testing.assert_allclose(u8.astype(np.float32) / 255.0, f32, atol=2.0 / 255)
+
+    import jax.numpy as jnp
+
+    normed = np.asarray(native_loader.normalize_u8_on_device(jnp.asarray(u8)))
+    ref = (f32 - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(normed, ref, atol=0.03)
