@@ -146,7 +146,21 @@ def _flash_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads,
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "num_heads", "q_block"))
+def _packed_reference(q, k, v, scale, num_heads):
+    """XLA reference on the packed layout (differentiable; used as the
+    backward rule for the Pallas forward)."""
+    B, N, HD = q.shape
+    D = HD // num_heads
+    out = attention_reference(
+        q.reshape(B, N, num_heads, D),
+        k.reshape(B, N, num_heads, D),
+        v.reshape(B, N, num_heads, D),
+        scale,
+    )
+    return out.reshape(B, N, HD)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention_packed(q, k, v, scale: float, num_heads: int,
                            q_block: int = 512):
     """q, k, v: [B, N, H*D] packed activations -> [B, N, H*D].
@@ -154,7 +168,31 @@ def flash_attention_packed(q, k, v, scale: float, num_heads: int,
     Reads/writes the natural dense-projection layout directly (the v1 kernel
     required a [B*H, N, D] transpose + pad, ~4ms/step of HBM copies at
     518^2). Edge blocks are handled by Mosaic's automatic block padding, so
-    N need not divide q_block."""
+    N need not divide q_block.
+
+    Differentiable via custom_vjp: the forward runs the Pallas kernel; the
+    backward differentiates the XLA reference (recompute, flash-style — the
+    score matrix is never saved as a residual)."""
+    return _flash_packed_fwd_only(q, k, v, scale, num_heads, q_block)
+
+
+def _flash_packed_vjp_fwd(q, k, v, scale, num_heads, q_block):
+    return flash_attention_packed(q, k, v, scale, num_heads, q_block), (q, k, v)
+
+
+def _flash_packed_vjp_bwd(scale, num_heads, q_block, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _packed_reference(a, b, c, scale, num_heads),
+                     q, k, v)
+    return vjp(g)
+
+
+flash_attention_packed.defvjp(_flash_packed_vjp_fwd, _flash_packed_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads", "q_block"))
+def _flash_packed_fwd_only(q, k, v, scale: float, num_heads: int,
+                           q_block: int = 512):
     B, N, HD = q.shape
     D = HD // num_heads
     grid = (B, pl.cdiv(N, q_block))

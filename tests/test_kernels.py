@@ -103,3 +103,34 @@ def test_packed_dinov2_path(monkeypatch):
     a = dinov2.apply(params, x, cfg, attn_impl="xla")
     b = dinov2.apply(params, x, cfg, attn_impl="pallas_packed")
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-4)
+
+
+def test_flash_packed_grad_matches_reference(monkeypatch):
+    """custom_vjp: grads through the packed kernel equal grads through the
+    XLA reference."""
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    B, N, H, D = 1, 130, 2, 64
+    q, k, v = _qkv(B=B, N=N, H=H, D=D)
+    qp, kp, vp = (t.reshape(B, N, H * D) for t in (q, k, v))
+    scale = D**-0.5
+
+    def loss_pallas(q_, k_, v_):
+        return FA.flash_attention_packed(q_, k_, v_, scale, H, 128).sum()
+
+    def loss_ref(q_, k_, v_):
+        return FA._packed_reference(q_, k_, v_, scale, H).sum()
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(qp, kp, vp)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(qp, kp, vp)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
+                                   rtol=5e-4)
