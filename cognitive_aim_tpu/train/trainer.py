@@ -209,7 +209,11 @@ class Trainer:
             out_shardings=(pspec, None, None),
         )
 
-    def train_step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
+    def train_step(self, batch: Dict[str, np.ndarray], rng,
+                   fetch_logs: bool = True) -> Dict:
+        """One optimizer step. `fetch_logs=False` keeps the loss scalars on
+        device (no host sync — important through high-latency links; the
+        epoch loop fetches only at log_interval)."""
         batch = self._device_batch(batch)
         curiosity_on = jnp.asarray(
             self.epoch >= self.cfg.curiosity_warmup_epochs
@@ -219,7 +223,9 @@ class Trainer:
             self.params, self.opt_state, batch, rng, curiosity_on
         )
         self._global_step += 1
-        return {k: float(v) for k, v in logs.items()}
+        if fetch_logs:
+            return {k: float(v) for k, v in logs.items()}
+        return logs
 
     def _device_batch(self, batch):
         batch = {
@@ -235,19 +241,25 @@ class Trainer:
 
     # ------------------------------------------------------------ loops ----
     def train_epoch(self, loader, rng) -> Dict[str, float]:
-        sums: Dict[str, float] = {}
+        device_logs = []
         n = 0
         for i, batch in enumerate(loader):
-            logs = self.train_step(batch, jax.random.fold_in(rng, i))
-            for k, v in logs.items():
-                sums[k] = sums.get(k, 0.0) + v
+            logs = self.train_step(batch, jax.random.fold_in(rng, i),
+                                   fetch_logs=False)
+            device_logs.append(logs)
             n += 1
             if self.writer and i % self.cfg.log_interval == 0:
+                host = {k: float(v) for k, v in logs.items()}
                 gs = self.epoch * len(loader) + i
-                self.writer.add_scalar("Train/BatchLoss", logs["loss"], gs)
-                self.writer.add_scalar("Train/DepthLoss", logs["depth_loss"], gs)
-                self.writer.add_scalar("Train/CuriosityLoss", logs["curiosity_loss"], gs)
-        return {k: v / max(n, 1) for k, v in sums.items()}
+                self.writer.add_scalar("Train/BatchLoss", host["loss"], gs)
+                self.writer.add_scalar("Train/DepthLoss", host["depth_loss"], gs)
+                self.writer.add_scalar(
+                    "Train/CuriosityLoss", host["curiosity_loss"], gs
+                )
+        if not device_logs:
+            return {}
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs).mean(), *device_logs)
+        return {k: float(v) for k, v in stacked.items()}
 
     def validate(self, loader) -> Dict[str, float]:
         total = 0.0

@@ -30,9 +30,9 @@ logs = tr.train_step(batch, jax.random.PRNGKey(0))
 t0 = time.perf_counter()
 N = 20
 for i in range(N):
-    logs = tr.train_step(batch, jax.random.PRNGKey(i))
+    logs = tr.train_step(batch, jax.random.PRNGKey(i), fetch_logs=False)
 # force completion via host fetch of updated params leaf
 _ = np.asarray(jax.tree_util.tree_leaves(tr.params)[0])[..., :1]
 dt = time.perf_counter() - t0
 print(f"train step B={B} S={S} frozen={frozen}: {dt/N*1e3:.1f} ms/step "
-      f"({B*N/dt:.0f} img/s) loss={logs['loss']:.4f}", flush=True)
+      f"({B*N/dt:.0f} img/s) loss={float(logs['loss']):.4f}", flush=True)
