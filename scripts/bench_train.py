@@ -36,3 +36,20 @@ _ = np.asarray(jax.tree_util.tree_leaves(tr.params)[0])[..., :1]
 dt = time.perf_counter() - t0
 print(f"train step B={B} S={S} frozen={frozen}: {dt/N*1e3:.1f} ms/step "
       f"({B*N/dt:.0f} img/s) loss={float(logs['loss']):.4f}", flush=True)
+
+# device-only step time (batch pre-staged; isolates compute from the relay's
+# slow host->device transfers)
+import jax.numpy as jnp
+db = tr._device_batch(batch)
+cur_on = jnp.asarray(True)
+p, o = tr.params, tr.opt_state
+key = jax.random.PRNGKey(0)
+p, o, lg = tr._step_fn(p, o, db, key, cur_on)  # warm (already compiled)
+t0 = time.perf_counter()
+N2 = 30
+for i in range(N2):
+    p, o, lg = tr._step_fn(p, o, db, jax.random.PRNGKey(i), cur_on)
+_ = float(lg["loss"])
+dt2 = time.perf_counter() - t0
+print(f"device-only train step: {dt2/N2*1e3:.1f} ms/step ({B*N2/dt2:.0f} img/s)",
+      flush=True)
