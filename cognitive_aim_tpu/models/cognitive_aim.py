@@ -168,6 +168,7 @@ class CognitiveAimModel:
         rng: Optional[jax.Array] = None,
         train: bool = False,
         noise_mode: NoiseMode = NoiseMode.SAMPLE,
+        curiosity_kl_weight: Optional[Any] = None,
     ) -> ModelOutput:
         """Unified forward. `guidance` is None for the unguided path, or an
         instruction index (guidance.INSTRUCTIONS order) — scalar or per-sample
@@ -205,6 +206,8 @@ class CognitiveAimModel:
             if a.use_curiosity:
                 reward, _, comps = C.curiosity_apply(
                     params["curiosity_module"], cls_token,
+                    kl_weight=0.1 if curiosity_kl_weight is None
+                    else curiosity_kl_weight,
                     rng=rngs.get("curiosity"), train=train, noise_mode=noise_mode,
                 )
                 curiosity_score = reward

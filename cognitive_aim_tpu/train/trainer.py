@@ -57,6 +57,12 @@ class TrainConfig:
     curiosity_loss_type: str = "robust"
     uncertainty_weight: float = 0.1
     attention_entropy_weight: float = 0.0
+    # variational KL beta schedule (curiosity.variational_params — declared by
+    # the shipped configs, implemented here; constant 0.1 matches the
+    # reference's hardcoded weight ref:src/model.py:646)
+    beta_schedule: str = "constant"
+    beta_start: float = 0.1
+    beta_end: float = 0.1
     log_interval: int = 10
     save_interval: int = 1
     steps_per_epoch: int = 100  # for schedule construction
@@ -88,6 +94,13 @@ class TrainConfig:
             curiosity_loss_type=str(cur.get("loss_type", "robust")),
             uncertainty_weight=float(cur.get("uncertainty_weight", 0.1)),
             attention_entropy_weight=float(tr.get("attention_entropy_weight", 0.0)),
+            beta_schedule=str(
+                cur.get("variational_params", {}).get("beta_schedule", "constant")
+            ),
+            beta_start=float(
+                cur.get("variational_params", {}).get("beta_start", 0.1)
+            ),
+            beta_end=float(cur.get("variational_params", {}).get("beta_end", 0.1)),
             log_interval=int(logging_cfg.get("log_interval", 10)),
             save_interval=int(logging_cfg.get("save_interval",
                                               tr.get("save_every", 1))),
@@ -173,9 +186,10 @@ class Trainer:
         cfg = self.cfg
         model = self.model
 
-        def loss_fn(params, batch, rng, curiosity_on):
+        def loss_fn(params, batch, rng, curiosity_on, kl_w):
             out = model.apply(
-                params, batch["images"], batch.get("exif"), rng=rng, train=True
+                params, batch["images"], batch.get("exif"), rng=rng, train=True,
+                curiosity_kl_weight=kl_w,
             )
             pred = out.depth[:, 0]
             target = scalar_depth_target(batch["depths"])
@@ -194,9 +208,9 @@ class Trainer:
                 "curiosity_loss": cur_loss,
             }
 
-        def step(params, opt_state, batch, rng, curiosity_on):
+        def step(params, opt_state, batch, rng, curiosity_on, kl_w):
             (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch, rng, curiosity_on
+                params, batch, rng, curiosity_on, kl_w
             )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -219,8 +233,15 @@ class Trainer:
             self.epoch >= self.cfg.curiosity_warmup_epochs
             and self.model.arch.use_curiosity
         )
+        from cognitive_aim_tpu.train.schedules import beta_schedule
+
+        kl_w = jnp.asarray(
+            beta_schedule(self.cfg.beta_schedule, self.cfg.beta_start,
+                          self.cfg.beta_end, self.cfg.epochs)(self.epoch),
+            jnp.float32,
+        )
         self.params, self.opt_state, logs = self._step_fn(
-            self.params, self.opt_state, batch, rng, curiosity_on
+            self.params, self.opt_state, batch, rng, curiosity_on, kl_w
         )
         self._global_step += 1
         if fetch_logs:
