@@ -110,3 +110,17 @@ def test_predict_paths_batched(engine, image):
     assert len(res) == 3
     assert res[0] == res[1] and res[0][0] > 0
     assert np.isnan(res[2][0])
+
+
+def test_nine_grid_layout(engine, image, tmp_path):
+    from cognitive_aim_tpu.utils.visualize import create_nine_grid_layout
+
+    eng, d = engine
+    eng.predict_all_instructions(image)
+    out = create_nine_grid_layout(str(d / "demo_results"),
+                                  str(tmp_path / "grid.png"), "photo")
+    assert out is not None and os.path.getsize(out) > 10000
+    # missing stem -> None (reference requires pre-generated PNGs,
+    # ref:create_nine_grid_demo.py:36-58)
+    assert create_nine_grid_layout(str(d / "demo_results"),
+                                   str(tmp_path / "g2.png"), "nope") is None

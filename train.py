@@ -118,6 +118,13 @@ def main():
     if args.resume:
         trainer.load_checkpoint(args.resume)
         logger.info(f"Resumed from epoch {trainer.epoch - 1}")
+    elif config.get("checkpoint", {}).get("auto_resume"):
+        # checkpoint.auto_resume — declared by every shipped YAML but read by
+        # no reference code; honored here: pick up output_dir/checkpoint.npz
+        auto = os.path.join(args.output_dir, "checkpoint.npz")
+        if os.path.exists(auto):
+            trainer.load_checkpoint(auto)
+            logger.info(f"Auto-resumed from {auto} (epoch {trainer.epoch - 1})")
 
     logger.info(f"Starting training for {tcfg.epochs} epochs")
     history = trainer.fit(train_loader, val_loader)
