@@ -114,7 +114,46 @@ def flash_attention(q, k, v, scale: float, q_block: int = 256, k_block: int = 51
     return out
 
 
-# ------------------------------------------------------------- packed v2 ----
+# ----------------------------------------------------- packed v2 (int8) -----
+def _quant_rows(x):
+    """per-row symmetric int8 in-VMEM quantization -> (int8, f32 scale)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+    return jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8), s
+
+
+def _flash_packed_int8_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads,
+                              head_dim, n_valid):
+    """int8 QK^T (2x MXU rate on v5e): q/k quantized per row in VMEM; scores
+    dequantized with the outer product of row scales. PV stays bf16 — the
+    softmax weights are too diffuse at N~1.4k (mean ~1/N << 1/127) to
+    quantize without losing mass. Fast-path only — opt-in via the int8
+    policy."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    nk = k.shape[0]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, nk), dimension=1)
+    kbias = jnp.where(kidx < n_valid, 0.0, NEG_INF).astype(jnp.float32)
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        qq, sq = _quant_rows(qh)
+        kq, sk = _quant_rows(kh)
+        s = jax.lax.dot_general(
+            qq, kq, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        s = s * (sq * scale) * sk[:, 0][None, :] + kbias
+        m = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = 1.0 / e.sum(axis=-1, keepdims=True)
+        p = (e * r).astype(vh.dtype)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
 def _flash_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads,
                          head_dim, n_valid):
     """Packed-layout kernel: refs are [1, block_n, H*D] slices of the natural
@@ -160,9 +199,9 @@ def _packed_reference(q, k, v, scale, num_heads):
     return out.reshape(B, N, HD)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention_packed(q, k, v, scale: float, num_heads: int,
-                           q_block: int = 512):
+                           q_block: int = 512, int8_dots: bool = False):
     """q, k, v: [B, N, H*D] packed activations -> [B, N, H*D].
 
     Reads/writes the natural dense-projection layout directly (the v1 kernel
@@ -173,14 +212,17 @@ def flash_attention_packed(q, k, v, scale: float, num_heads: int,
     Differentiable via custom_vjp: the forward runs the Pallas kernel; the
     backward differentiates the XLA reference (recompute, flash-style — the
     score matrix is never saved as a residual)."""
-    return _flash_packed_fwd_only(q, k, v, scale, num_heads, q_block)
+    return _flash_packed_fwd_only(q, k, v, scale, num_heads, q_block, int8_dots)
 
 
-def _flash_packed_vjp_fwd(q, k, v, scale, num_heads, q_block):
-    return flash_attention_packed(q, k, v, scale, num_heads, q_block), (q, k, v)
+def _flash_packed_vjp_fwd(q, k, v, scale, num_heads, q_block, int8_dots):
+    return (
+        flash_attention_packed(q, k, v, scale, num_heads, q_block, int8_dots),
+        (q, k, v),
+    )
 
 
-def _flash_packed_vjp_bwd(scale, num_heads, q_block, res, g):
+def _flash_packed_vjp_bwd(scale, num_heads, q_block, int8_dots, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda a, b, c: _packed_reference(a, b, c, scale, num_heads),
                      q, k, v)
@@ -190,16 +232,18 @@ def _flash_packed_vjp_bwd(scale, num_heads, q_block, res, g):
 flash_attention_packed.defvjp(_flash_packed_vjp_fwd, _flash_packed_vjp_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "num_heads", "q_block"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "num_heads", "q_block", "int8_dots")
+)
 def _flash_packed_fwd_only(q, k, v, scale: float, num_heads: int,
-                           q_block: int = 512):
+                           q_block: int = 512, int8_dots: bool = False):
     B, N, HD = q.shape
     D = HD // num_heads
     grid = (B, pl.cdiv(N, q_block))
+    kernel = _flash_packed_int8_kernel if int8_dots else _flash_packed_kernel
     return pl.pallas_call(
         functools.partial(
-            _flash_packed_kernel, scale=scale, num_heads=num_heads,
-            head_dim=D, n_valid=N,
+            kernel, scale=scale, num_heads=num_heads, head_dim=D, n_valid=N,
         ),
         grid=grid,
         in_specs=[

@@ -206,7 +206,10 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
             qp = L.linear_apply(p["q"], x)
             kp = L.linear_apply(p["k"], x)
             vp = L.linear_apply(p["v"], x)
-        ctx = flash_attention_packed(qp, kp, vp, scale=hd**-0.5, num_heads=H)
+        # int8 QK^T rides along with the quantized-dense policy
+        ctx = flash_attention_packed(
+            qp, kp, vp, hd**-0.5, H, 512, "wq" in p.get("attn_out", {})
+        )
         out = _lin(p["attn_out"], ctx)
         if cfg.use_lora and "lora_A" in p:
             scaling = cfg.lora_alpha / cfg.lora_rank

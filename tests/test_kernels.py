@@ -134,3 +134,30 @@ def test_flash_packed_grad_matches_reference(monkeypatch):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5,
                                    rtol=5e-4)
+
+
+def test_flash_packed_int8_close(monkeypatch):
+    """int8 QK^T variant stays close to the f32 reference (fast-path
+    accuracy bound)."""
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+
+    B, N, H, D = 1, 260, 2, 64
+    q, k, v = _qkv(B=B, N=N, H=H, D=D)
+    qp, kp, vp = (t.reshape(B, N, H * D) for t in (q, k, v))
+    scale = D**-0.5
+    want = np.asarray(FA._packed_reference(qp, kp, vp, scale, H))
+    got = np.asarray(
+        FA.flash_attention_packed(qp, kp, vp, scale, H, 128, True)
+    )
+    cos = np.sum(got * want, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.995, float(cos.min())
