@@ -206,10 +206,10 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
             qp = L.linear_apply(p["q"], x)
             kp = L.linear_apply(p["k"], x)
             vp = L.linear_apply(p["v"], x)
-        # int8 QK^T rides along with the quantized-dense policy
-        ctx = flash_attention_packed(
-            qp, kp, vp, hd**-0.5, H, 512, "wq" in p.get("attn_out", {})
-        )
+        # NOTE: the int8 QK^T kernel variant measured SLOWER end-to-end
+        # (364 vs 405 img/s @518^2 — in-kernel per-head quantization VPU cost
+        # exceeds the int8 MXU gain at contraction depth 64); keep bf16 dots.
+        ctx = flash_attention_packed(qp, kp, vp, hd**-0.5, H, 512, False)
         out = _lin(p["attn_out"], ctx)
         if cfg.use_lora and "lora_A" in p:
             scaling = cfg.lora_alpha / cfg.lora_rank
