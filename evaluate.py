@@ -22,7 +22,8 @@ import numpy as np
 import yaml
 
 
-def evaluate_config(config_path, data_dir, checkpoint, batch_size, lookup):
+def evaluate_config(config_path, data_dir, checkpoint, batch_size, lookup,
+                    instruction=None):
     import jax
     import jax.numpy as jnp
 
@@ -48,9 +49,14 @@ def evaluate_config(config_path, data_dir, checkpoint, batch_size, lookup):
         exif = None
         if "exif" in batch:
             exif = {k: jnp.asarray(v) for k, v in batch["exif"].items()}
+        guidance = None
+        if instruction is not None:
+            from cognitive_aim_tpu.models import guidance as G
+
+            guidance = G.instruction_index(instruction)
         out = engine.model.apply(
             engine.params, jnp.asarray(batch["images"]), exif,
-            rng=jax.random.PRNGKey(0),
+            guidance=guidance, rng=jax.random.PRNGKey(0),
         )
         preds.append(np.asarray(out.depth[:, 0]))
         confs.append(np.asarray(out.confidence[:, 0]))
@@ -74,6 +80,9 @@ def main():
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--lookup", type=str, default="reference",
                     choices=["reference", "nested"])
+    ap.add_argument("--instruction", type=str, default=None,
+                    help="evaluate under one guidance instruction, or "
+                         "'all' for the per-instruction sweep")
     ap.add_argument("--output", type=str, default="eval_results.json")
     args = ap.parse_args()
 
@@ -89,14 +98,22 @@ def main():
     for cfg in configs:
         name = os.path.basename(cfg)
         print(f"=== {name} ===")
-        try:
-            m = evaluate_config(cfg, args.data_dir, args.checkpoint,
-                                args.batch_size, args.lookup)
-        except Exception as e:
-            m = {"error": f"{type(e).__name__}: {e}"}
-        results[name] = m
-        for k, v in m.items():
-            print(f"  {k}: {v}")
+        instructions = [args.instruction]
+        if args.instruction == "all":
+            from cognitive_aim_tpu.models.guidance import INSTRUCTIONS
+
+            instructions = list(INSTRUCTIONS)
+        for instr in instructions:
+            key = name if instr in (None, "all") else f"{name}[{instr}]"
+            try:
+                m = evaluate_config(cfg, args.data_dir, args.checkpoint,
+                                    args.batch_size, args.lookup, instr)
+            except Exception as e:
+                m = {"error": f"{type(e).__name__}: {e}"}
+            results[key] = m
+            print(f"  -- {instr or 'unguided'}")
+            for k, v in m.items():
+                print(f"     {k}: {v}")
 
     with open(args.output, "w") as f:
         json.dump(results, f, indent=2)
