@@ -3,8 +3,8 @@
 Flag-compatible with the reference demo.py (ref:demo.py:603-693):
   --config --checkpoint --image --image_dir --instruction --output --device
 plus TPU-stack extras: --all-instructions (batched nine-way inference),
---policy (f32|bf16), --attn (xla|pallas), --lookup (reference|nested),
---deterministic (zeroed sampling), --save-json.
+--policy (default|f32|bf16_all|int8), --attn (xla|pallas|pallas_packed),
+--lookup (reference|nested), --deterministic (zeroed sampling), --save-json.
 
 Single-image mode defaults the instruction to 'center' like the reference
 (ref:demo.py:635); directory mode runs unguided like the reference.
