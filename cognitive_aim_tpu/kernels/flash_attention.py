@@ -185,6 +185,135 @@ def _flash_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads,
         ).astype(o_ref.dtype)
 
 
+def _pick_q_block(n: int, max_block: int = 704) -> int:
+    """Smallest-padding q block: round N up to a multiple of 32 (int8 sublane
+    tile; also valid for bf16), split into the fewest blocks <= max_block.
+
+    Round 1 used a fixed q_block=512, padding N=1370 to 1536 query rows — a
+    12% MXU-FLOP tax on every QK^T and PV dot. N=1370 now picks 704 (2 blocks
+    = 1408 rows, 2.8% — matching the lane padding of the key dimension).
+    """
+    n32 = _round_up(n, 32)
+    nblocks = -(-n32 // max_block)
+    return _round_up(-(-n // nblocks), 32)
+
+
+# ------------------------------------------------- int8 QK^T (pre-quant) ----
+def quantize_rows(x):
+    """[B, N, HD] -> (int8 [B, N, HD], f32 scales [B, N, 1]).
+
+    Symmetric per-row (joint across heads) quantization, done OUTSIDE the
+    kernel so XLA fuses it into the qkv projection epilogue. Round 1's
+    in-kernel variant re-quantized K for every q block on the VPU and
+    measured slower end-to-end (364 vs 405 img/s). Per-(row, head) scales
+    were also tried and lost: the [B, N, H, D] reshape + minor-dim-64 max
+    forces a physical relayout on TPU (~0.19 ms/layer/tensor), swamping the
+    precision benefit. Joint-row scales reduce over the natural 768-lane
+    axis — free to fuse.
+    """
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _flash_packed_i8qk_kernel(q_ref, sq_ref, k_ref, sk_ref, v_ref, o_ref, *,
+                              num_heads, head_dim, n_valid):
+    """Packed-layout kernel with int8 QK^T on pre-quantized q/k.
+
+    q_ref [1, bq, H*D] int8, sq_ref [1, bq, 1] f32 (softmax scale folded in),
+    k_ref [1, nk, H*D] int8, sk_ref [1, 1, nk] f32 (pre-transposed row),
+    v_ref [1, nk, H*D] bf16.
+
+    The int8 dot accumulates in int32 (no NaN/inf possible from Mosaic edge
+    padding), dequantized by the outer product of row scales; the additive
+    key mask then kills padded columns. PV stays bf16 — softmax rows are too
+    diffuse at N~1.4k to survive per-row int8 (measured round 1)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    sq = sq_ref[0]  # [bq, 1]
+    sk = sk_ref[0]  # [1, nk]
+    nk = k.shape[0]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, nk), dimension=1)
+    kbias = jnp.where(kidx < n_valid, 0.0, NEG_INF).astype(jnp.float32)
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s32 = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = s32.astype(jnp.float32) * sq * sk + kbias
+        m = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = 1.0 / e.sum(axis=-1, keepdims=True)
+        p = (e * r).astype(v.dtype)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_packed_i8qk(q, k, v, scale: float, num_heads: int,
+                                q_block: int = 0):
+    """Packed attention with int8 QK^T: q, k, v [B, N, H*D] float in, float
+    out. Quantization (per-row, per-head symmetric) runs in XLA where it
+    fuses with the projection epilogue; the kernel consumes int8 directly.
+    q_block=0 picks the minimal-padding block size. Backward differentiates
+    the full-precision XLA reference (straight-through past quantization)."""
+    return _i8qk_fwd_only(q, k, v, scale, num_heads, q_block)
+
+
+def _i8qk_vjp_fwd(q, k, v, scale, num_heads, q_block):
+    return flash_attention_packed_i8qk(q, k, v, scale, num_heads, q_block), (q, k, v)
+
+
+def _i8qk_vjp_bwd(scale, num_heads, q_block, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _packed_reference(a, b, c, scale, num_heads),
+                     q, k, v)
+    return vjp(g)
+
+
+flash_attention_packed_i8qk.defvjp(_i8qk_vjp_fwd, _i8qk_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads", "q_block"))
+def _i8qk_fwd_only(q, k, v, scale: float, num_heads: int, q_block: int = 0):
+    B, N, HD = q.shape
+    D = HD // num_heads
+    q_block = q_block or _pick_q_block(N)
+    q8, sq = quantize_rows(q)
+    k8, sk = quantize_rows(k)
+    sq = sq * scale  # fold the softmax scale into the row scales
+    sk_t = sk.transpose(0, 2, 1)  # [B, 1, N] — one sublane row in-kernel
+    grid = (B, pl.cdiv(N, q_block))
+    return pl.pallas_call(
+        functools.partial(
+            _flash_packed_i8qk_kernel, num_heads=num_heads, head_dim=D,
+            n_valid=N,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, HD), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_block, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, HD), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, HD), v.dtype),
+    )(q8, sq, k8, sk_t, v)
+
+
 def _packed_reference(q, k, v, scale, num_heads):
     """XLA reference on the packed layout (differentiable; used as the
     backward rule for the Pallas forward)."""
@@ -201,13 +330,14 @@ def _packed_reference(q, k, v, scale, num_heads):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention_packed(q, k, v, scale: float, num_heads: int,
-                           q_block: int = 512, int8_dots: bool = False):
+                           q_block: int = 0, int8_dots: bool = False):
     """q, k, v: [B, N, H*D] packed activations -> [B, N, H*D].
 
     Reads/writes the natural dense-projection layout directly (the v1 kernel
     required a [B*H, N, D] transpose + pad, ~4ms/step of HBM copies at
     518^2). Edge blocks are handled by Mosaic's automatic block padding, so
-    N need not divide q_block.
+    N need not divide q_block; q_block=0 (default) picks the
+    minimal-padding block via _pick_q_block.
 
     Differentiable via custom_vjp: the forward runs the Pallas kernel; the
     backward differentiates the XLA reference (recompute, flash-style — the
@@ -236,9 +366,10 @@ flash_attention_packed.defvjp(_flash_packed_vjp_fwd, _flash_packed_vjp_bwd)
     jax.jit, static_argnames=("scale", "num_heads", "q_block", "int8_dots")
 )
 def _flash_packed_fwd_only(q, k, v, scale: float, num_heads: int,
-                           q_block: int = 512, int8_dots: bool = False):
+                           q_block: int = 0, int8_dots: bool = False):
     B, N, HD = q.shape
     D = HD // num_heads
+    q_block = q_block or _pick_q_block(N)
     grid = (B, pl.cdiv(N, q_block))
     kernel = _flash_packed_int8_kernel if int8_dots else _flash_packed_kernel
     return pl.pallas_call(

@@ -1,0 +1,227 @@
+"""Chained int8 transformer-block GEMMs (Pallas, TPU) — inference fast path.
+
+Round 1 measured two individually-negative results that together point at
+the winning design:
+
+  * a standalone fused int8 GEMM (int8_gemm.py) lost end-to-end (332 vs 407
+    img/s) because swapping one opaque custom call into the middle of XLA's
+    graph broke the surrounding elementwise fusions — GELU, requantize and
+    residual adds each became separate HBM passes;
+  * the XLA int8 chain keeps those fusions but runs the GEMMs slower than
+    the Pallas GEMM at fc1/fc2 shapes, and still pays ~2.3 ms/step of
+    convert/quantize fusions at 518^2 B=8.
+
+So: fuse the whole dense chain of a block into the kernels and never hand
+XLA a bare intermediate. Three kernels:
+
+  qkv_proj : x bf16 -> quant(VMEM) -> int8 dot [D,3D] -> dequant+bias -> bf16
+  fc1_gelu : x bf16 -> quant(VMEM) -> int8 dot -> dequant+bias -> tanh-GELU
+             -> requant(VMEM) -> int8 out + f32 row scales   (HBM halved)
+  out_res  : (h int8 + scales | h bf16) -> int8 dot -> dequant+bias
+             -> * layerscale + residual add -> bf16
+
+All kernels keep the natural [B, N, K] activation layout with (1, n_block, K)
+blocks — flattening to [B*N, K] forces a physical relayout on TPU whenever N
+is not a multiple of the 8-row sublane tile (measured ~1.6 ms/step of
+reshape copies at N=1371, B=8). Weights stay VMEM-resident across the grid
+(constant index map); each activation tile is read once. Inference-only:
+these run when the params carry int8 weights (policy "int8"); training uses
+the float path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cognitive_aim_tpu.kernels.flash_attention import _pick_q_block
+
+
+def _quant_rows_f32(xf):
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _gelu_tanh(x):
+    # matches jax.nn.gelu(approximate=True)
+    c = jnp.sqrt(2.0 / jnp.pi).astype(x.dtype)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x**3)))
+
+
+def _wspec(K, N):
+    return pl.BlockSpec((K, N), lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _rowspec(N):
+    return pl.BlockSpec((1, N), lambda b, i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _xspec(nb, K):
+    return pl.BlockSpec((1, nb, K), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+# --------------------------------------------------------------- qkv_proj ---
+def _qkv_kernel(x_ref, wq_ref, ws_ref, b_ref, o_ref):
+    xq, sx = _quant_rows_f32(x_ref[0].astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[0] = (acc.astype(jnp.float32) * sx * ws_ref[...]
+                + b_ref[...]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_block", "out_dtype"))
+def int8_proj(x, wq, ws, b, n_block: int = 0, out_dtype=jnp.bfloat16):
+    """x [B, N, K] -> [B, N, Nout] bf16: in-VMEM quant + int8 GEMM +
+    dequant/bias."""
+    B, N, K = x.shape
+    Nout = wq.shape[1]
+    nb = n_block or _pick_q_block(N)
+    return pl.pallas_call(
+        _qkv_kernel,
+        grid=(B, pl.cdiv(N, nb)),
+        in_specs=[_xspec(nb, K), _wspec(K, Nout), _rowspec(Nout),
+                  _rowspec(Nout)],
+        out_specs=_xspec(nb, Nout),
+        out_shape=jax.ShapeDtypeStruct((B, N, Nout), out_dtype),
+    )(x, wq, ws.reshape(1, Nout), b.reshape(1, Nout))
+
+
+def _qkv_split_kernel(x_ref, wq_ref, ws_ref, b_ref, q_ref, k_ref, v_ref):
+    xq, sx = _quant_rows_f32(x_ref[0].astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * ws_ref[...] + b_ref[...]
+    D = q_ref.shape[-1]
+    q_ref[0] = y[:, :D].astype(q_ref.dtype)
+    k_ref[0] = y[:, D:2 * D].astype(k_ref.dtype)
+    v_ref[0] = y[:, 2 * D:].astype(v_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_block", "out_dtype"))
+def int8_qkv_proj(x, wq, ws, b, n_block: int = 0, out_dtype=jnp.bfloat16):
+    """x [B, N, D] -> (q, k, v) each [B, N, D] bf16 via one fused int8 GEMM
+    over the concatenated [D, 3D] weight. The in-kernel lane split (768-
+    aligned, tile-exact) replaces an XLA jnp.split that would copy the whole
+    [B, N, 3D] tensor."""
+    B, N, D = x.shape
+    assert wq.shape[1] == 3 * D
+    nb = n_block or _pick_q_block(N)
+    out = jax.ShapeDtypeStruct((B, N, D), out_dtype)
+    return pl.pallas_call(
+        _qkv_split_kernel,
+        grid=(B, pl.cdiv(N, nb)),
+        in_specs=[_xspec(nb, D), _wspec(D, 3 * D), _rowspec(3 * D),
+                  _rowspec(3 * D)],
+        out_specs=[_xspec(nb, D), _xspec(nb, D), _xspec(nb, D)],
+        out_shape=[out, out, out],
+    )(x, wq, ws.reshape(1, 3 * D), b.reshape(1, 3 * D))
+
+
+# --------------------------------------------------------------- fc1+gelu ---
+def _fc1_kernel(x_ref, wq_ref, ws_ref, b_ref, h8_ref, sh_ref):
+    xq, sx = _quant_rows_f32(x_ref[0].astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # exact (erf) GELU is not lowerable in Pallas TPU (no erf/erfc
+    # primitive); the dispatch in nn/dinov2.py only routes gelu_approx
+    # configs here
+    h = _gelu_tanh(acc.astype(jnp.float32) * sx * ws_ref[...] + b_ref[...])
+    h8, sh = _quant_rows_f32(h)
+    h8_ref[0] = h8
+    sh_ref[0] = sh
+
+
+@functools.partial(jax.jit, static_argnames=("n_block",))
+def int8_fc1_gelu(x, wq, ws, b, n_block: int = 0):
+    """x [B, N, K] -> (h8 [B, N, F] int8, sh [B, N, 1] f32): GEMM + tanh-GELU
+    + requantize in one pass; the [B, N, F] intermediate never hits HBM in
+    float."""
+    B, N, K = x.shape
+    F = wq.shape[1]
+    nb = n_block or _pick_q_block(N)
+    return pl.pallas_call(
+        _fc1_kernel,
+        grid=(B, pl.cdiv(N, nb)),
+        in_specs=[_xspec(nb, K), _wspec(K, F), _rowspec(F), _rowspec(F)],
+        out_specs=[_xspec(nb, F), _xspec(nb, 1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, F), jnp.int8),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        ],
+    )(x, wq, ws.reshape(1, F), b.reshape(1, F))
+
+
+# --------------------------------------------------- fc2 / attn_out + res ---
+def _out_res_prequant_kernel(h8_ref, sh_ref, wq_ref, ws_ref, b_ref, ls_ref,
+                             res_ref, o_ref):
+    acc = jax.lax.dot_general(
+        h8_ref[0], wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sh_ref[0] * ws_ref[...] + b_ref[...]
+    o_ref[0] = (res_ref[0].astype(jnp.float32)
+                + ls_ref[...] * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_block",))
+def int8_out_residual_prequant(h8, sh, wq, ws, b, ls, res, n_block: int = 0):
+    """(h8 int8 [B, N, F], sh f32 [B, N, 1]) ->
+    res + ls * (dequant(h8 @ wq) + b).
+
+    Consumes fc1's int8 output directly and folds the LayerScale multiply and
+    residual add into the epilogue — the whole MLP runs HBM-minimal."""
+    B, N, F = h8.shape
+    Nout = wq.shape[1]
+    nb = n_block or _pick_q_block(N)
+    return pl.pallas_call(
+        _out_res_prequant_kernel,
+        grid=(B, pl.cdiv(N, nb)),
+        in_specs=[
+            _xspec(nb, F), _xspec(nb, 1), _wspec(F, Nout), _rowspec(Nout),
+            _rowspec(Nout), _rowspec(Nout), _xspec(nb, Nout),
+        ],
+        out_specs=_xspec(nb, Nout),
+        out_shape=jax.ShapeDtypeStruct((B, N, Nout), res.dtype),
+    )(h8, sh, wq, ws.reshape(1, Nout), b.reshape(1, Nout),
+      ls.reshape(1, Nout), res)
+
+
+def _out_res_kernel(x_ref, wq_ref, ws_ref, b_ref, ls_ref, res_ref, o_ref):
+    xq, sx = _quant_rows_f32(x_ref[0].astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * ws_ref[...] + b_ref[...]
+    o_ref[0] = (res_ref[0].astype(jnp.float32)
+                + ls_ref[...] * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_block",))
+def int8_out_residual(x, wq, ws, b, ls, res, n_block: int = 0):
+    """x bf16 [B, N, K] -> res + ls * (dequant(quant(x) @ wq) + b)."""
+    B, N, K = x.shape
+    Nout = wq.shape[1]
+    nb = n_block or _pick_q_block(N)
+    return pl.pallas_call(
+        _out_res_kernel,
+        grid=(B, pl.cdiv(N, nb)),
+        in_specs=[
+            _xspec(nb, K), _wspec(K, Nout), _rowspec(Nout), _rowspec(Nout),
+            _rowspec(Nout), _xspec(nb, Nout),
+        ],
+        out_specs=_xspec(nb, Nout),
+        out_shape=jax.ShapeDtypeStruct((B, N, Nout), res.dtype),
+    )(x, wq, ws.reshape(1, Nout), b.reshape(1, Nout), ls.reshape(1, Nout), res)

@@ -62,15 +62,23 @@ def int8_linear(x: jnp.ndarray, wq: dict, b: jnp.ndarray | None, out_dtype=None)
     return int8_matmul_prequant(xq, sx, wq, b, out_dtype)
 
 
-def quantize_backbone_layers(layer_params: dict) -> dict:
+def quantize_backbone_layers(layer_params: dict, fuse_qkv: bool = True) -> dict:
     """Stacked dinov2 layer pytree -> same tree with dense weights replaced by
     int8 {'q','s'} pairs (vmapped over the layer axis). Biases / norms /
-    layerscales stay float."""
+    layerscales stay float.
+
+    fuse_qkv additionally emits a concatenated 'qkv_i8' [L, D, 3D] weight
+    (per-output-channel scales concatenate exactly) consumed by the chained
+    Pallas block path (kernels/int8_block.py) as one [D, 3D] GEMM."""
 
     def quant_stacked(w):  # [L, K, N]
         return jax.vmap(quantize_weight)(w)
 
     out = dict(layer_params)
+    if fuse_qkv and all(n in out for n in ("q", "k", "v")):
+        wcat = jnp.concatenate([out[n]["w"] for n in ("q", "k", "v")], axis=-1)
+        bcat = jnp.concatenate([out[n]["b"] for n in ("q", "k", "v")], axis=-1)
+        out["qkv_i8"] = {"wq": quant_stacked(wcat), "b": bcat}
     for name in ("q", "k", "v", "attn_out", "fc1", "fc2"):
         if name in out:
             lin = dict(out[name])

@@ -288,18 +288,24 @@ class CognitiveAimModel:
         cd = self.policy.backbone_compute_dtype
         run = patches.astype(cd)
         fparams = jax.tree.map(lambda t: t.astype(cd), params["focal_stream"])
+        # fused NxN focal-attention kernel rides the same gate as the Pallas
+        # backbone attention (TPU-only fast path; XLA path is the parity
+        # reference)
+        fused = self.attn_impl.startswith("pallas")
         if a.use_iterative:
             feats, attn, entropy = S.iterative_focal_apply(
                 fparams, run, curiosity_score,
                 focus_strength=a.focus_strength,
                 curiosity_guided=a.curiosity_guided,
                 rng=rng, train=train, noise_mode=noise_mode,
+                fused_attention=fused,
             )
         else:
             feats, attn, entropy = S.focal_apply(
                 fparams, run, curiosity_score,
                 curiosity_guided=a.curiosity_guided,
                 rng=rng, train=train, noise_mode=noise_mode,
+                fused_attention=fused,
             )
         if guidance is None:
             return feats, attn, entropy

@@ -159,10 +159,16 @@ def focal_apply(
     rng=None,
     train=False,
     noise_mode: NoiseMode = NoiseMode.SAMPLE,
+    fused_attention: bool = False,
 ):
     """Eval/train-exact FocalStream forward (ref:src/model.py:128-313).
 
     Returns (focal_features [B, 64], attention [B, N], entropy scalar).
+
+    fused_attention=True routes the NxN attention through the Pallas kernel
+    (kernels/focal_attention.py) that emits attended/colmean/diag/rowmax in
+    one pass without materializing the [B, N, N] matrix in HBM (60 MB per
+    iteration at 518^2 batch 8 on the XLA path).
     """
     B, N, D = patch_tokens.shape
     dt = patch_tokens.dtype  # compute dtype (bf16 on the fast path, f32 strict)
@@ -172,20 +178,31 @@ def focal_apply(
     k = L.linear_apply(params["key_proj"], x)
     v = L.linear_apply(params["value_proj"], x)
     scale = math.sqrt(D // num_heads)  # ref:src/model.py:69 (NOT multi-head)
-    scores = jnp.einsum("bnd,bmd->bnm", q, k) / scale
-    # softmax + all attention aggregation in f32 (cheap VPU work; keeps the
-    # L1-normalized attention numerically faithful even under bf16 matmuls)
-    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    attended = jnp.einsum("bnm,bmd->bnd", attn.astype(dt), v)
+    if fused_attention:
+        from cognitive_aim_tpu.kernels.focal_attention import (
+            focal_attention_fused,
+        )
+
+        attended, colmean, adiag, armax = focal_attention_fused(q, k, v, scale)
+    else:
+        scores = jnp.einsum("bnd,bmd->bnm", q, k) / scale
+        # softmax + all attention aggregation in f32 (cheap VPU work; keeps
+        # the L1-normalized attention numerically faithful even under bf16
+        # matmuls)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        attended = jnp.einsum("bnm,bmd->bnd", attn.astype(dt), v)
+        colmean = attn.mean(axis=1)
+        adiag = jnp.diagonal(attn, axis1=-2, axis2=-1)
+        armax = attn.max(axis=-1)
 
     # aggregated per-patch attention: column mean + center bias (ref:233-239)
     cb = jnp.asarray(center_bias_np(N))[None]
-    pa = attn.mean(axis=1) + cb
+    pa = colmean + cb
 
     # uniformity fallbacks (ref:242-257); torch .var() = unbiased over all elems
-    diag = jnp.diagonal(attn, axis1=-2, axis2=-1) + cb
+    diag = adiag + cb
     pa = jnp.where(L.torch_var(pa) < 1e-6, diag, pa)
-    rowmax = attn.max(axis=-1) + cb
+    rowmax = armax + cb
     pa = jnp.where(L.torch_var(pa) < 1e-6, rowmax, pa)
     norms = jnp.linalg.norm(x.astype(jnp.float32), axis=-1)
     nstd = jnp.std(norms, ddof=1)
@@ -296,6 +313,7 @@ def iterative_focal_apply(
     rng=None,
     train=False,
     noise_mode: NoiseMode = NoiseMode.SAMPLE,
+    fused_attention: bool = False,
 ):
     """ref:src/model.py:391-455. Member streams have independent weights, so
     the loop is unrolled (num_iterations is 2/3/6 — small and static).
@@ -321,7 +339,7 @@ def iterative_focal_apply(
         f, attn, ent = focal_apply(
             sp, cur, ic,
             curiosity_guided=curiosity_guided, rng=sub, train=train,
-            noise_mode=noise_mode,
+            noise_mode=noise_mode, fused_attention=fused_attention,
         )
         feats.append(f)
         ents.append(ent)

@@ -182,9 +182,12 @@ def _lin(p, x):
 def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
     B, N, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
-    if attn_impl == "pallas_packed":
+    if attn_impl in ("pallas_packed", "pallas_packed_i8qk"):
         # packed kernel consumes [B, N, H*D] directly — no head transpose
-        from cognitive_aim_tpu.kernels.flash_attention import flash_attention_packed
+        from cognitive_aim_tpu.kernels.flash_attention import (
+            flash_attention_packed,
+            flash_attention_packed_i8qk,
+        )
 
         if "qkv_i8" in p:
             # fused int8 qkv: one in-VMEM-quantizing GEMM over [D, 3D]
@@ -206,10 +209,14 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
             qp = L.linear_apply(p["q"], x)
             kp = L.linear_apply(p["k"], x)
             vp = L.linear_apply(p["v"], x)
-        # NOTE: the int8 QK^T kernel variant measured SLOWER end-to-end
-        # (364 vs 405 img/s @518^2 — in-kernel per-head quantization VPU cost
-        # exceeds the int8 MXU gain at contraction depth 64); keep bf16 dots.
-        ctx = flash_attention_packed(qp, kp, vp, hd**-0.5, H, 512, False)
+        if attn_impl == "pallas_packed_i8qk":
+            # int8 QK^T with quantization hoisted OUT of the kernel (fuses
+            # into the projection epilogue); round 1's in-kernel quantization
+            # variant lost (364 vs 405 img/s) to redundant per-q-block VPU
+            # requantization of K — this one quantizes once per layer.
+            ctx = flash_attention_packed_i8qk(qp, kp, vp, hd**-0.5, H)
+        else:
+            ctx = flash_attention_packed(qp, kp, vp, hd**-0.5, H)
         out = _lin(p["attn_out"], ctx)
         if cfg.use_lora and "lora_A" in p:
             scaling = cfg.lora_alpha / cfg.lora_rank
@@ -263,6 +270,45 @@ def _block(p, x, cfg: DinoV2Config, attn_impl: str):
     h = jax.nn.gelu(h, approximate=cfg.gelu_approx)
     h = _lin(p["fc2"], h)
     x = x + p["ls2"] * h
+    return x
+
+
+def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
+    """Int8 inference block with the full dense chain in Pallas kernels
+    (kernels/int8_block.py): qkv as one in-VMEM-quantizing GEMM, fc1 with
+    fused GELU emitting int8 + row scales, fc2/attn_out with fused
+    LayerScale-and-residual epilogues. No float intermediate of the MLP ever
+    reaches HBM. Same math as _block to within quantization rounding."""
+    from cognitive_aim_tpu.kernels import int8_block as IB
+    from cognitive_aim_tpu.kernels.flash_attention import (
+        flash_attention_packed,
+        flash_attention_packed_i8qk,
+    )
+
+    H, hd = cfg.num_heads, cfg.head_dim
+    eps = cfg.layer_norm_eps
+
+    h = L.layernorm_apply(p["norm1"], x, eps)
+    qp, kp, vp = IB.int8_qkv_proj(
+        h, p["qkv_i8"]["wq"]["q"], p["qkv_i8"]["wq"]["s"], p["qkv_i8"]["b"]
+    )
+    if attn_impl == "pallas_packed_i8qk":
+        ctx = flash_attention_packed_i8qk(qp, kp, vp, hd**-0.5, H)
+    else:
+        ctx = flash_attention_packed(qp, kp, vp, hd**-0.5, H)
+    x = IB.int8_out_residual(
+        ctx, p["attn_out"]["wq"]["q"], p["attn_out"]["wq"]["s"],
+        p["attn_out"]["b"], p["ls1"], x,
+    )
+
+    h2 = L.layernorm_apply(p["norm2"], x, eps)
+    h8, sh = IB.int8_fc1_gelu(
+        h2, p["fc1"]["wq"]["q"], p["fc1"]["wq"]["s"], p["fc1"]["b"],
+    )
+    x = IB.int8_out_residual_prequant(
+        h8, sh, p["fc2"]["wq"]["q"], p["fc2"]["wq"]["s"], p["fc2"]["b"],
+        p["ls2"], x,
+    )
     return x
 
 
@@ -328,6 +374,14 @@ def apply(
             del layers[key]
 
     block = _block
+    if (
+        quantized
+        and attn_impl.startswith("pallas_packed")
+        and "qkv_i8" in layers
+        and cfg.gelu_approx  # exact erf GELU can't lower in Pallas TPU
+        and not (cfg.use_lora and "lora_A" in layers)
+    ):
+        block = _block_int8_chained
     if remat:
         # recompute activations in the backward pass — trades ~30% FLOPs for
         # O(layers) activation memory (jax.checkpoint per block; SURVEY.md

@@ -23,7 +23,12 @@ import yaml
 
 
 def evaluate_config(config_path, data_dir, checkpoint, batch_size, lookup,
-                    instruction=None):
+                    instructions=(None,), vit_cfg=None):
+    """Evaluate one config under each instruction in `instructions` (None =
+    unguided). One engine and ONE compiled graph serve the whole sweep: the
+    guidance index is a traced argument, and tail batches are padded so every
+    step hits the same jitted forward (the reference re-runs its Python mask
+    loops per call, ref:src/model.py:1268-1379)."""
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +39,7 @@ def evaluate_config(config_path, data_dir, checkpoint, batch_size, lookup,
 
     engine = CognitiveAimInference(
         config_path, checkpoint, lookup=lookup, save_images=False,
-        noise_mode="zeros",
+        noise_mode="zeros", vit_cfg=vit_cfg,
     )
     with open(config_path) as f:
         raw = yaml.safe_load(f)
@@ -42,33 +47,51 @@ def evaluate_config(config_path, data_dir, checkpoint, batch_size, lookup,
     ds = DepthDataset(data_dir, "val", (size, size),
                       use_exif=engine.arch.use_exif, augment=False)
     if len(ds) == 0:
-        return {"error": f"no val data in {data_dir}", "n": 0}
-    loader = DataLoader(ds, batch_size)
-    preds, targets, confs = [], [], []
-    for batch in loader:
-        exif = None
-        if "exif" in batch:
-            exif = {k: jnp.asarray(v) for k, v in batch["exif"].items()}
+        return {i: {"error": f"no val data in {data_dir}", "n": 0}
+                for i in instructions}
+    wanted = raw.get("validation", {}).get("metrics")
+    key = jax.random.PRNGKey(0)
+    results = {}
+    for instruction in instructions:
         guidance = None
         if instruction is not None:
             from cognitive_aim_tpu.models import guidance as G
 
             guidance = G.instruction_index(instruction)
-        out = engine.model.apply(
-            engine.params, jnp.asarray(batch["images"]), exif,
-            guidance=guidance, rng=jax.random.PRNGKey(0),
+        preds, targets, confs = [], [], []
+        for batch in DataLoader(ds, batch_size):
+            n = batch["images"].shape[0]
+            pad = batch_size - n
+
+            def _pad(a):
+                return (np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+                        if pad else a)
+
+            images = jnp.asarray(_pad(batch["images"]))
+            exif = None
+            if "exif" in batch:
+                exif = {k: jnp.asarray(_pad(np.asarray(v)))
+                        for k, v in batch["exif"].items()}
+            if guidance is None:
+                out = engine._unguided(engine.params, images, exif, key)
+            else:
+                gidx = jnp.full((images.shape[0],), guidance, jnp.int32)
+                out = engine._guided(engine.params, images, exif, gidx, key)
+            preds.append(np.asarray(out.depth[:n, 0]))
+            confs.append(np.asarray(out.confidence[:n, 0]))
+            targets.append(
+                np.asarray(scalar_depth_target(jnp.asarray(batch["depths"])))
+            )
+        metrics = calculate_depth_metrics(
+            np.concatenate(preds), np.concatenate(targets)
         )
-        preds.append(np.asarray(out.depth[:, 0]))
-        confs.append(np.asarray(out.confidence[:, 0]))
-        targets.append(np.asarray(scalar_depth_target(jnp.asarray(batch["depths"]))))
-    metrics = calculate_depth_metrics(np.concatenate(preds), np.concatenate(targets))
-    metrics["mean_confidence"] = float(np.concatenate(confs).mean())
-    metrics["n"] = int(sum(p.size for p in preds))
-    wanted = raw.get("validation", {}).get("metrics")
-    if wanted:
-        metrics = {k: v for k, v in metrics.items()
-                   if k in wanted or k in ("n", "mean_confidence")}
-    return metrics
+        metrics["mean_confidence"] = float(np.concatenate(confs).mean())
+        metrics["n"] = int(sum(p.size for p in preds))
+        if wanted:
+            metrics = {k: v for k, v in metrics.items()
+                       if k in wanted or k in ("n", "mean_confidence")}
+        results[instruction] = metrics
+    return results
 
 
 def main():
@@ -103,13 +126,15 @@ def main():
             from cognitive_aim_tpu.models.guidance import INSTRUCTIONS
 
             instructions = list(INSTRUCTIONS)
-        for instr in instructions:
-            key = name if instr in (None, "all") else f"{name}[{instr}]"
-            try:
-                m = evaluate_config(cfg, args.data_dir, args.checkpoint,
-                                    args.batch_size, args.lookup, instr)
-            except Exception as e:
-                m = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            per_instr = evaluate_config(cfg, args.data_dir, args.checkpoint,
+                                        args.batch_size, args.lookup,
+                                        tuple(instructions))
+        except Exception as e:
+            per_instr = {i: {"error": f"{type(e).__name__}: {e}"}
+                         for i in instructions}
+        for instr, m in per_instr.items():
+            key = name if instr is None else f"{name}[{instr}]"
             results[key] = m
             print(f"  -- {instr or 'unguided'}")
             for k, v in m.items():

@@ -24,7 +24,7 @@ def slope(qb, k1=6, k2=30):
         ts[kk] = best
     return (ts[k2]-ts[k1])/(k2-k1)
 
-for qb in (128, 256, 512, 704):
+for qb in (176, 352, 512, 704, 1408):
     try:
         t = slope(qb)
         print(f"q_block={qb}: {t*1e3:.3f} ms/layer-equiv", flush=True)
