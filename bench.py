@@ -100,7 +100,7 @@ def bench(batch_size: int, image_size: int, policy: str, attn: str,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8, help="0 = sweep")
+    ap.add_argument("--batch", type=int, default=0, help="0 = sweep 8/16")
     ap.add_argument("--size", type=int, default=518)
     ap.add_argument("--policy", type=str, default="int8")
     ap.add_argument("--attn", type=str, default="pallas_packed")

@@ -284,7 +284,7 @@ flash_attention_packed_i8qk.defvjp(_i8qk_vjp_fwd, _i8qk_vjp_bwd)
 def _i8qk_fwd_only(q, k, v, scale: float, num_heads: int, q_block: int = 0):
     B, N, HD = q.shape
     D = HD // num_heads
-    q_block = q_block or _pick_q_block(N)
+    q_block = q_block or _pick_q_block(N, max_block=704 if B <= 8 else 352)
     q8, sq = quantize_rows(q)
     k8, sk = quantize_rows(k)
     sq = sq * scale  # fold the softmax scale into the row scales
@@ -369,7 +369,10 @@ def _flash_packed_fwd_only(q, k, v, scale: float, num_heads: int,
                            q_block: int = 0, int8_dots: bool = False):
     B, N, HD = q.shape
     D = HD // num_heads
-    q_block = q_block or _pick_q_block(N)
+    # Mosaic's scoped-VMEM accounting tightens with batch (B=16 at block 704
+    # exceeds the 16 MB limit by ~2 MB; B=8 fits); 352 keeps large batches
+    # compiling at ~4% kernel cost
+    q_block = q_block or _pick_q_block(N, max_block=704 if B <= 8 else 352)
     grid = (B, pl.cdiv(N, q_block))
     kernel = _flash_packed_int8_kernel if int8_dots else _flash_packed_kernel
     return pl.pallas_call(

@@ -121,7 +121,10 @@ focal_attention_fused.defvjp(_focal_vjp_fwd, _focal_vjp_bwd)
 @functools.partial(jax.jit, static_argnames=("scale", "q_block"))
 def _focal_fused_fwd(q, k, v, scale: float, q_block: int = 0):
     B, N, D = q.shape
-    q_block = q_block or _pick_q_block(N)
+    # max_block 352 (not 704): the f32 score block is the VMEM hog here
+    # (704x1408 f32 = 4 MB) and 704 tips the kernel over the 16 MB scoped
+    # limit at batch 16; 352 costs ~0.03 ms/iter and removes the cliff
+    q_block = q_block or _pick_q_block(N, max_block=352)
     grid = (B, pl.cdiv(N, q_block))
     row_spec = pl.BlockSpec((1, q_block, 1), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)

