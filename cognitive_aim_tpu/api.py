@@ -265,12 +265,18 @@ class CognitiveAimInference:
         instruction: Optional[str] = None,
         batch_size: int = 16,
         mesh=None,
+        use_exif: bool = True,
     ) -> List[Tuple[float, float]]:
         """Production serving path: native C++ loader (threaded decode+resize,
         io/native) -> device batches, optionally DP-sharded over a mesh.
         Returns [(depth, confidence)] per path ((nan, nan) for failed decodes);
         skips per-image PNG artifacts. Host->device transfer is uint8 (4x
-        smaller); /255 + ImageNet normalization fuses into the jitted forward."""
+        smaller); /255 + ImageNet normalization fuses into the jitted forward.
+
+        Per-image EXIF is extracted on the host (same plausibility ranges and
+        defaults as predict(), ref:demo.py:170-296) so the batched path gives
+        the same answers; pass use_exif=False to skip the PIL pass and use
+        the 50mm/f2.8/ISO100 defaults for every image."""
         from cognitive_aim_tpu.io.native_loader import (
             decode_resize_batch_u8,
             normalize_u8_on_device,
@@ -297,12 +303,24 @@ class CognitiveAimInference:
             chunk = image_paths[start : start + batch_size]
             imgs, ok = decode_resize_batch_u8(chunk, self.image_size, self.image_size)
             n = len(chunk)
-            exif = {
-                "camera_idx": np.zeros(n, np.int32),
-                "focal_length": np.full(n, 50.0, np.float32),
-                "aperture": np.full(n, 2.8, np.float32),
-                "iso": np.full(n, 100.0, np.float32),
-            }
+            if use_exif:
+                per_image = [
+                    exif_io.exif_arrays_for_model(
+                        exif_io.extract_exif(p), self.camera_to_id
+                    )
+                    for p in chunk
+                ]
+                exif = {
+                    k: np.concatenate([e[k] for e in per_image])
+                    for k in per_image[0]
+                }
+            else:
+                exif = {
+                    "camera_idx": np.zeros(n, np.int32),
+                    "focal_length": np.full(n, 50.0, np.float32),
+                    "aperture": np.full(n, 2.8, np.float32),
+                    "iso": np.full(n, 100.0, np.float32),
+                }
             xb = jnp.asarray(imgs)
             eb = {k: jnp.asarray(v) for k, v in exif.items()}
             if mesh is not None:

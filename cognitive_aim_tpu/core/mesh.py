@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+REPLICA_AXIS = "replica"  # DCN (cross-slice / cross-host) data parallelism
 
 
 def default_mesh_shape(n_devices: int, model_parallel: int = 1) -> tuple[int, int]:
@@ -44,9 +45,65 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def initialize_distributed(**kw) -> None:
+    """Multi-host entry: initialize the JAX distributed runtime from the
+    environment (coordinator address / process id / num processes are picked
+    up from TPU metadata on real pods; pass explicitly elsewhere). Call once
+    per process before any backend use."""
+    import jax.distributed
+
+    jax.distributed.initialize(**kw)
+
+
+def make_multihost_mesh(
+    model_parallel: int = 1,
+    replicas: int | None = None,
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """3-D (replica, data, model) mesh for multi-slice / multi-host runs.
+
+    The `replica` axis maps across DCN (one replica per slice/host group) and
+    carries only gradient all-reduces; `data`/`model` stay within a slice so
+    their collectives ride ICI (the scaling-book hybrid recipe). On real
+    multi-slice TPU topologies the device order comes from
+    mesh_utils.create_hybrid_device_mesh; on flat topologies (or the virtual
+    CPU mesh) it degenerates to a reshape — same SPMD program either way.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if replicas is None:
+        slice_ids = {getattr(d, "slice_index", 0) or 0 for d in devices}
+        replicas = max(1, len(slice_ids))
+    if n % (replicas * model_parallel) != 0:
+        raise ValueError(
+            f"replicas={replicas} * model_parallel={model_parallel} "
+            f"does not divide n_devices={n}"
+        )
+    dp = n // (replicas * model_parallel)
+    shape = (replicas, dp, model_parallel)
+    if len({getattr(d, "slice_index", 0) or 0 for d in devices}) > 1:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            (1, dp, model_parallel), (replicas, 1, 1), devices=devices
+        )
+    else:
+        dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def batch_axes(mesh: Mesh):
+    """Mesh axes the batch dim shards over: (replica, data) on a multihost
+    mesh, data alone on the 2-D mesh."""
+    if REPLICA_AXIS in mesh.axis_names:
+        return (REPLICA_AXIS, DATA_AXIS)
+    return DATA_AXIS
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis, replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) dim over the data(+replica) axes."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -54,6 +111,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def pad_batch_to_devices(batch_size: int, mesh: Mesh) -> int:
-    """Smallest batch >= batch_size divisible by the data axis size."""
+    """Smallest batch >= batch_size divisible by the batch-sharded axes."""
     dp = mesh.shape[DATA_AXIS]
+    if REPLICA_AXIS in mesh.axis_names:
+        dp *= mesh.shape[REPLICA_AXIS]
     return int(math.ceil(batch_size / dp) * dp)

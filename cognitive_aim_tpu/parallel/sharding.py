@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from cognitive_aim_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+from cognitive_aim_tpu.core.mesh import MODEL_AXIS, batch_axes
 
 # Path-suffix -> PartitionSpec for stacked backbone layer params [L, in, out].
 _TP_RULES = {
@@ -59,8 +59,10 @@ def param_shardings(mesh: Mesh, params, tensor_parallel: bool = False):
 
 
 def batch_shardings(mesh: Mesh, batch):
-    """Shard every leaf's leading (batch) dim over `data`."""
-    return jax.tree.map(lambda _: NamedSharding(mesh, P(DATA_AXIS)), batch)
+    """Shard every leaf's leading (batch) dim over `data` (plus `replica`
+    on a multi-host DCN mesh)."""
+    spec = P(batch_axes(mesh))
+    return jax.tree.map(lambda _: NamedSharding(mesh, spec), batch)
 
 
 def shard_params(mesh: Mesh, params, tensor_parallel: bool = False):

@@ -31,6 +31,19 @@ def setup_logging(output_dir: str, log_level: int = logging.INFO) -> logging.Log
     return logging.getLogger("cognitive_aim_tpu")
 
 
+def setup_experiment_directory(output_dir: str, config: dict) -> str:
+    """Create the reference's experiment layout (ref:src/utils.py:276-288):
+    checkpoints/ logs/ predictions/ tensorboard/ subdirs plus a config.yaml
+    snapshot of the resolved config."""
+    import yaml
+
+    for subdir in ("checkpoints", "logs", "predictions", "tensorboard"):
+        os.makedirs(os.path.join(output_dir, subdir), exist_ok=True)
+    with open(os.path.join(output_dir, "config.yaml"), "w") as f:
+        yaml.dump(config, f, default_flow_style=False)
+    return output_dir
+
+
 def count_parameters(params) -> tuple[int, int]:
     """(total, total) — all params in a pytree; trainability is an optimizer
     property here (ref:src/utils.py:187-191 counts requires_grad)."""

@@ -190,3 +190,64 @@ def test_resume_from_torch_checkpoint(tmp_path):
     want = tm_ambient.state_dict()["mlp.0.weight"].numpy().T
     np.testing.assert_allclose(after, want, atol=1e-6)
     assert np.abs(after - before).max() > 0
+
+
+def test_rich_logging_surface():
+    """configs' logging.curiosity block (declared in experiment_B.yaml,
+    unimplemented in the reference): attention heatmap images + curiosity
+    statistics + exploration stats reach the writer at validation."""
+
+    class FakeWriter:
+        def __init__(self):
+            self.scalars = {}
+            self.images = {}
+
+        def add_scalar(self, tag, value, step):
+            self.scalars[tag] = value
+
+        def add_image(self, tag, img, step):
+            self.images[tag] = img
+
+    model, params = tiny_model()
+    cfg = TrainConfig(
+        epochs=1, batch_size=8, steps_per_epoch=2, freeze_backbone=False,
+        rich_logging=True, num_save_images=2, eval_noise_mode="zeros",
+    )
+    writer = FakeWriter()
+    trainer = Trainer(model, params, cfg, output_dir="/tmp/cat_richlog",
+                      writer=writer)
+
+    class Loader:
+        def __init__(self, batches):
+            self.batches = batches
+
+        def __iter__(self):
+            return iter(self.batches)
+
+        def __len__(self):
+            return len(self.batches)
+
+    loader = Loader([synth_batch(B=8)])
+    trainer.fit(loader, loader, epochs=1)
+    assert "Val/curiosity_mean" in writer.scalars
+    assert "Val/curiosity_std" in writer.scalars
+    assert "Val/AttentionHeatmap/0" in writer.images
+    assert "Val/AttentionHeatmap/1" in writer.images
+    img = writer.images["Val/AttentionHeatmap/0"]
+    assert img.ndim == 3 and img.shape[0] == 1  # CHW grayscale
+    assert float(img.max()) <= 1.0 and float(img.min()) >= 0.0
+    assert "Exploration/mean" in writer.scalars
+    assert writer.scalars["Exploration/samples"] >= 8
+
+
+def test_from_raw_rich_logging_and_noise():
+    raw = {
+        "logging": {"curiosity": {"log_curiosity_stats": True},
+                    "num_save_images": 3},
+        "validation": {"noise_mode": "zeros"},
+    }
+    cfg = TrainConfig.from_raw(raw)
+    assert cfg.rich_logging and cfg.num_save_images == 3
+    assert cfg.eval_noise_mode == "zeros"
+    cfg2 = TrainConfig.from_raw({})
+    assert not cfg2.rich_logging and cfg2.eval_noise_mode == "sample"

@@ -78,3 +78,69 @@ def test_param_counting():
     total, trainable = count_parameters(params)
     assert total == 110 and trainable == 110
     assert abs(get_model_size_mb(params) - 110 * 4 / 1024 / 1024) < 1e-9
+
+
+def test_multihost_mesh_and_batch_sharding():
+    """3-D (replica, data, model) DCN x ICI mesh on the virtual devices:
+    batch shards over replica+data jointly; padding accounts for both."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from cognitive_aim_tpu.core.mesh import (
+        MODEL_AXIS,
+        REPLICA_AXIS,
+        batch_sharding,
+        make_multihost_mesh,
+        pad_batch_to_devices,
+    )
+
+    mesh = make_multihost_mesh(model_parallel=2, replicas=2,
+                               devices=jax.devices()[:8])
+    assert mesh.shape == {"replica": 2, "data": 2, "model": 2}
+    bs = batch_sharding(mesh)
+    assert bs.spec == P((REPLICA_AXIS, "data"))
+    assert pad_batch_to_devices(5, mesh) == 8  # ceil(5 / (replica*data=4)) * 4
+
+    # replicas must divide the device count
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_multihost_mesh(model_parallel=3, replicas=2,
+                            devices=jax.devices()[:8])
+
+
+def test_multihost_train_step():
+    """One sharded training step over the (replica, data, model) mesh —
+    the gradient all-reduce spans the replica (DCN) axis."""
+    import jax
+    import numpy as np
+
+    from cognitive_aim_tpu.core.mesh import make_multihost_mesh
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    from cognitive_aim_tpu.train.trainer import TrainConfig, Trainer
+
+    mesh = make_multihost_mesh(model_parallel=2, replicas=2,
+                               devices=jax.devices()[:8])
+    model, params = g._flagship(image_size=28, tiny=True)
+    cfg = TrainConfig(epochs=1, steps_per_epoch=2, freeze_backbone=True,
+                      tensor_parallel=True, accumulation_steps=1)
+    trainer = Trainer(model, params, cfg, mesh=mesh,
+                      output_dir="/tmp/graft_multihost")
+    rng = np.random.RandomState(0)
+    B = 8
+    batch = {
+        "images": rng.randn(B, 28, 28, 3).astype(np.float32),
+        "depths": np.abs(rng.randn(B, 28, 28).astype(np.float32)) + 0.1,
+        "exif": {
+            "camera_idx": np.zeros(B, np.int32),
+            "focal_length": np.full(B, 0.25, np.float32),
+            "aperture": np.full(B, 0.127, np.float32),
+            "iso": np.full(B, 0.016, np.float32),
+        },
+    }
+    logs = trainer.train_step(batch, jax.random.PRNGKey(0))
+    assert np.isfinite(logs["loss"])

@@ -44,8 +44,6 @@ def main():
     random.seed(seed)
     np.random.seed(seed)
 
-    os.makedirs(args.output_dir, exist_ok=True)
-
     import jax
 
     from cognitive_aim_tpu.core.precision import policy_from_name
@@ -53,8 +51,14 @@ def main():
     from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
     from cognitive_aim_tpu.models.config import resolve_model_config
     from cognitive_aim_tpu.train.trainer import TrainConfig, Trainer
-    from cognitive_aim_tpu.utils.logging import setup_logging
+    from cognitive_aim_tpu.utils.logging import (
+        setup_experiment_directory,
+        setup_logging,
+    )
 
+    # checkpoints/logs/predictions/tensorboard subdirs + config.yaml snapshot
+    # (ref:src/utils.py:276-288)
+    setup_experiment_directory(args.output_dir, config)
     logger = setup_logging(args.output_dir)
     writer = None
     try:
