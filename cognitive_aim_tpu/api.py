@@ -259,6 +259,47 @@ class CognitiveAimInference:
                 )
         return results
 
+    def predict_all_instructions_batch(
+        self, image_paths: List[str]
+    ) -> List[Dict[str, Tuple[float, float]]]:
+        """Nine instructions x M images in ONE device call (batch M*9 with a
+        tiled guidance-index vector). Returns one {instruction: (depth,
+        confidence)} dict per image and writes the per-image prediction PNGs
+        (the multi-image nine-grid path; the reference needs 9*M demo.py
+        runs, ref:create_nine_grid_demo.py)."""
+        n = len(G.INSTRUCTIONS)
+        imgs, exifs = [], []
+        for path in image_paths:
+            img, _ = self._prep_image(path)
+            imgs.append(np.repeat(img, n, axis=0))
+            e = exif_io.exif_arrays_for_model(
+                exif_io.extract_exif(path), self.camera_to_id
+            )
+            exifs.append({k: np.repeat(v, n, axis=0) for k, v in e.items()})
+        batch = jnp.asarray(np.concatenate(imgs))
+        exif_j = {
+            k: jnp.asarray(np.concatenate([e[k] for e in exifs]))
+            for k in exifs[0]
+        }
+        gi = jnp.asarray(np.tile(np.arange(n, dtype=np.int32), len(image_paths)))
+        out = self._guided(self.params, batch, exif_j, gi, self._next_key())
+        depths = np.asarray(out.depth).squeeze(-1)
+        confs = np.asarray(out.confidence).squeeze(-1)
+        attn = np.asarray(out.attention)
+        results = []
+        for m, path in enumerate(image_paths):
+            per = {}
+            for i, name in enumerate(G.INSTRUCTIONS):
+                j = m * n + i
+                per[name] = (float(depths[j]), float(confs[j]))
+                if self.save_images:
+                    save_prediction_image(
+                        np.asarray(imgs[m][0]), float(depths[j]), float(confs[j]),
+                        attn[j], name, path, self.output_dir,
+                    )
+            results.append(per)
+        return results
+
     def predict_paths_batched(
         self,
         image_paths: List[str],
@@ -266,6 +307,7 @@ class CognitiveAimInference:
         batch_size: int = 16,
         mesh=None,
         use_exif: bool = True,
+        instructions: Optional[List[str]] = None,
     ) -> List[Tuple[float, float]]:
         """Production serving path: native C++ loader (threaded decode+resize,
         io/native) -> device batches, optionally DP-sharded over a mesh.
@@ -276,7 +318,15 @@ class CognitiveAimInference:
         Per-image EXIF is extracted on the host (same plausibility ranges and
         defaults as predict(), ref:demo.py:170-296) so the batched path gives
         the same answers; pass use_exif=False to skip the PIL pass and use
-        the 50mm/f2.8/ISO100 defaults for every image."""
+        the 50mm/f2.8/ISO100 defaults for every image.
+
+        `instructions` gives a per-path guidance instruction (mixed
+        instructions batch into ONE guided dispatch — the guidance index is a
+        traced per-image vector, so all 9 modes share the compiled graph);
+        mutually exclusive with the scalar `instruction`. Every entry must be
+        a valid instruction string: guided and unguided forwards are
+        different graphs, so a None-mixed list can't share a dispatch — use
+        predict_batch for that."""
         from cognitive_aim_tpu.io.native_loader import (
             decode_resize_batch_u8,
             normalize_u8_on_device,
@@ -297,10 +347,22 @@ class CognitiveAimInference:
                 )
             )
 
+        if instructions is not None:
+            if instruction is not None:
+                raise ValueError("pass either instruction or instructions, not both")
+            if len(instructions) != len(image_paths):
+                raise ValueError("instructions must match image_paths length")
+            gi_all = np.asarray(
+                [G.instruction_index(i) for i in instructions], np.int32
+            )
+        else:
+            gi_all = None
         gi = None if instruction is None else G.instruction_index(instruction)
-        results: List[Tuple[float, float]] = []
-        for start in range(0, len(image_paths), batch_size):
-            chunk = image_paths[start : start + batch_size]
+
+        def _dispatch(chunk, start):
+            """Host decode + async device dispatch for one chunk. Returns the
+            un-fetched device outputs; JAX dispatch is asynchronous, so the
+            device computes this chunk while the caller decodes the next."""
             imgs, ok = decode_resize_batch_u8(chunk, self.image_size, self.image_size)
             n = len(chunk)
             if use_exif:
@@ -327,20 +389,40 @@ class CognitiveAimInference:
                 sharded = shard_batch(mesh, {"images": xb, **eb})
                 xb = sharded["images"]
                 eb = {k: sharded[k] for k in eb}
-            if gi is not None:
+            if gi_all is not None:
+                out = self._guided_u8(
+                    self.params, xb, eb,
+                    jnp.asarray(gi_all[start : start + n]), self._next_key(),
+                )
+            elif gi is not None:
                 out = self._guided_u8(
                     self.params, xb, eb,
                     jnp.full((n,), gi, jnp.int32), self._next_key(),
                 )
             else:
                 out = self._unguided_u8(self.params, xb, eb, self._next_key())
+            return out, ok, n
+
+        def _drain(pend):
+            out, ok, n = pend
             d = np.asarray(out.depth[:, 0])
             c = np.asarray(out.confidence[:, 0])
-            for i in range(n):
-                if ok[i]:
-                    results.append((float(d[i]), float(c[i])))
-                else:
-                    results.append((float("nan"), float("nan")))
+            return [
+                (float(d[i]), float(c[i])) if ok[i] else (float("nan"), float("nan"))
+                for i in range(n)
+            ]
+
+        # double-buffered: decode/dispatch chunk i+1 before fetching chunk i,
+        # so the threaded C++ decode overlaps device compute
+        results: List[Tuple[float, float]] = []
+        pending = None
+        for start in range(0, len(image_paths), batch_size):
+            cur = _dispatch(image_paths[start : start + batch_size], start)
+            if pending is not None:
+                results.extend(_drain(pending))
+            pending = cur
+        if pending is not None:
+            results.extend(_drain(pending))
         return results
 
     # ------------------------------------------------------------- misc ----

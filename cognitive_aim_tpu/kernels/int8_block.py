@@ -53,6 +53,14 @@ def _gelu_tanh(x):
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x**3)))
 
 
+def _ln_f32(xf, g, b, eps):
+    # row layernorm in f32; K is fully resident in the block so the
+    # reduction is local to the tile
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
 def _wspec(K, N):
     return pl.BlockSpec((K, N), lambda b, i: (0, 0), memory_space=pltpu.VMEM)
 
@@ -127,6 +135,44 @@ def int8_qkv_proj(x, wq, ws, b, n_block: int = 0, out_dtype=jnp.bfloat16):
     )(x, wq, ws.reshape(1, 3 * D), b.reshape(1, 3 * D))
 
 
+def _qkv_ln_split_kernel(eps, x_ref, g_ref, be_ref, wq_ref, ws_ref, b_ref,
+                         q_ref, k_ref, v_ref):
+    xn = _ln_f32(x_ref[0].astype(jnp.float32), g_ref[...], be_ref[...], eps)
+    xq, sx = _quant_rows_f32(xn)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * ws_ref[...] + b_ref[...]
+    D = q_ref.shape[-1]
+    q_ref[0] = y[:, :D].astype(q_ref.dtype)
+    k_ref[0] = y[:, D:2 * D].astype(k_ref.dtype)
+    v_ref[0] = y[:, 2 * D:].astype(v_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "n_block", "out_dtype"))
+def int8_qkv_proj_ln(x, g, be, wq, ws, b, eps: float = 1e-6,
+                     n_block: int = 0, out_dtype=jnp.bfloat16):
+    """Pre-LN fused into the qkv GEMM: x [B, N, D] -> LN(VMEM, f32) ->
+    quant -> int8 dot [D, 3D] -> (q, k, v). The layernormed activation never
+    exists in HBM (saves one write + one read of [B, N, D] per layer)."""
+    B, N, D = x.shape
+    assert wq.shape[1] == 3 * D
+    nb = n_block or _pick_q_block(N)
+    out = jax.ShapeDtypeStruct((B, N, D), out_dtype)
+    return pl.pallas_call(
+        functools.partial(_qkv_ln_split_kernel, eps),
+        grid=(B, pl.cdiv(N, nb)),
+        in_specs=[_xspec(nb, D), _rowspec(D), _rowspec(D),
+                  _wspec(D, 3 * D), _rowspec(3 * D), _rowspec(3 * D)],
+        out_specs=[_xspec(nb, D), _xspec(nb, D), _xspec(nb, D)],
+        out_shape=[out, out, out],
+    )(x, g.astype(jnp.float32).reshape(1, D),
+      be.astype(jnp.float32).reshape(1, D),
+      wq, ws.reshape(1, 3 * D), b.reshape(1, 3 * D))
+
+
 # --------------------------------------------------------------- fc1+gelu ---
 def _fc1_kernel(x_ref, wq_ref, ws_ref, b_ref, h8_ref, sh_ref):
     xq, sx = _quant_rows_f32(x_ref[0].astype(jnp.float32))
@@ -161,6 +207,43 @@ def int8_fc1_gelu(x, wq, ws, b, n_block: int = 0):
             jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
         ],
     )(x, wq, ws.reshape(1, F), b.reshape(1, F))
+
+
+def _fc1_ln_kernel(eps, x_ref, g_ref, be_ref, wq_ref, ws_ref, b_ref,
+                   h8_ref, sh_ref):
+    xn = _ln_f32(x_ref[0].astype(jnp.float32), g_ref[...], be_ref[...], eps)
+    xq, sx = _quant_rows_f32(xn)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = _gelu_tanh(acc.astype(jnp.float32) * sx * ws_ref[...] + b_ref[...])
+    h8, sh = _quant_rows_f32(h)
+    h8_ref[0] = h8
+    sh_ref[0] = sh
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "n_block"))
+def int8_fc1_gelu_ln(x, g, be, wq, ws, b, eps: float = 1e-6,
+                     n_block: int = 0):
+    """Pre-LN fused into fc1: x [B, N, K] -> LN -> quant -> GEMM ->
+    tanh-GELU -> requantize, one HBM read of x and one int8 write of h."""
+    B, N, K = x.shape
+    F = wq.shape[1]
+    nb = n_block or _pick_q_block(N)
+    return pl.pallas_call(
+        functools.partial(_fc1_ln_kernel, eps),
+        grid=(B, pl.cdiv(N, nb)),
+        in_specs=[_xspec(nb, K), _rowspec(K), _rowspec(K),
+                  _wspec(K, F), _rowspec(F), _rowspec(F)],
+        out_specs=[_xspec(nb, F), _xspec(nb, 1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, F), jnp.int8),
+            jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        ],
+    )(x, g.astype(jnp.float32).reshape(1, K),
+      be.astype(jnp.float32).reshape(1, K),
+      wq, ws.reshape(1, F), b.reshape(1, F))
 
 
 # --------------------------------------------------- fc2 / attn_out + res ---

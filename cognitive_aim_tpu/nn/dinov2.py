@@ -275,10 +275,11 @@ def _block(p, x, cfg: DinoV2Config, attn_impl: str):
 
 def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
     """Int8 inference block with the full dense chain in Pallas kernels
-    (kernels/int8_block.py): qkv as one in-VMEM-quantizing GEMM, fc1 with
-    fused GELU emitting int8 + row scales, fc2/attn_out with fused
-    LayerScale-and-residual epilogues. No float intermediate of the MLP ever
-    reaches HBM. Same math as _block to within quantization rounding."""
+    (kernels/int8_block.py): both pre-layernorms fused into the following
+    GEMM (qkv / fc1) so the normalized activation never exists in HBM, qkv
+    as one in-VMEM-quantizing GEMM, fc1 with fused GELU emitting int8 + row
+    scales, fc2/attn_out with fused LayerScale-and-residual epilogues. Same
+    math as _block to within quantization rounding (LN runs in f32 here)."""
     from cognitive_aim_tpu.kernels import int8_block as IB
     from cognitive_aim_tpu.kernels.flash_attention import (
         flash_attention_packed,
@@ -288,9 +289,10 @@ def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
     H, hd = cfg.num_heads, cfg.head_dim
     eps = cfg.layer_norm_eps
 
-    h = L.layernorm_apply(p["norm1"], x, eps)
-    qp, kp, vp = IB.int8_qkv_proj(
-        h, p["qkv_i8"]["wq"]["q"], p["qkv_i8"]["wq"]["s"], p["qkv_i8"]["b"]
+    qp, kp, vp = IB.int8_qkv_proj_ln(
+        x, p["norm1"]["scale"], p["norm1"]["bias"],
+        p["qkv_i8"]["wq"]["q"], p["qkv_i8"]["wq"]["s"], p["qkv_i8"]["b"],
+        eps=eps,
     )
     if attn_impl == "pallas_packed_i8qk":
         ctx = flash_attention_packed_i8qk(qp, kp, vp, hd**-0.5, H)
@@ -301,9 +303,9 @@ def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
         p["attn_out"]["b"], p["ls1"], x,
     )
 
-    h2 = L.layernorm_apply(p["norm2"], x, eps)
-    h8, sh = IB.int8_fc1_gelu(
-        h2, p["fc1"]["wq"]["q"], p["fc1"]["wq"]["s"], p["fc1"]["b"],
+    h8, sh = IB.int8_fc1_gelu_ln(
+        x, p["norm2"]["scale"], p["norm2"]["bias"],
+        p["fc1"]["wq"]["q"], p["fc1"]["wq"]["s"], p["fc1"]["b"], eps=eps,
     )
     x = IB.int8_out_residual_prequant(
         h8, sh, p["fc2"]["wq"]["q"], p["fc2"]["wq"]["s"], p["fc2"]["b"],

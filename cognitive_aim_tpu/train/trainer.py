@@ -409,13 +409,19 @@ class Trainer:
         ckptr.wait_until_finished()
 
     def load_checkpoint_orbax(self, path: str):
+        """Sharding-aware restore: each leaf is restored directly into its
+        NamedSharding on the mesh (on multi-host meshes every process reads
+        only its own shards from the checkpoint — no host-RAM full copy,
+        no post-hoc reshard)."""
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(
-            os.path.abspath(path), jax.tree.map(np.asarray, self.params)
+        target = shard_params(self.mesh, self.params, self.cfg.tensor_parallel)
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
+            target,
         )
-        self.params = shard_params(self.mesh, restored, self.cfg.tensor_parallel)
+        self.params = ckptr.restore(os.path.abspath(path), abstract)
         self.opt_state = self.tx.init(self.params)
 
     def save_checkpoint(self, is_best: bool, filename: str = "checkpoint.npz"):

@@ -38,6 +38,10 @@ def main():
                         help="config-key lookup semantics (see models/config.py)")
     parser.add_argument("--deterministic", action="store_true",
                         help="zero all sampling noise (reproducible outputs)")
+    parser.add_argument("--instructions-json", type=str, default=None,
+                        help="Directory mode: JSON file mapping image filename "
+                             "(or stem) -> guidance instruction; files not "
+                             "listed run unguided, like plain --image_dir")
     parser.add_argument("--save-json", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
@@ -93,7 +97,20 @@ def main():
         if not paths:
             raise ValueError(f"No image files found in directory {args.image_dir}")
         print(f"Found {len(paths)} images")
-        results = engine.predict_batch(paths)
+        instructions = None
+        if args.instructions_json:
+            import json
+
+            with open(args.instructions_json, "r", encoding="utf-8") as f:
+                by_name = json.load(f)
+            instructions = [
+                by_name.get(Path(p).name, by_name.get(Path(p).stem))
+                for p in paths
+            ]
+            n_guided = sum(i is not None for i in instructions)
+            print(f"Per-file instructions: {n_guided} guided, "
+                  f"{len(paths) - n_guided} unguided")
+        results = engine.predict_batch(paths, instructions)
         ok = [r for r in results if r[0] is not None]
         print("\n=== Batch Inference Results ===")
         print(f"Total images: {len(paths)}")

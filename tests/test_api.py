@@ -112,6 +112,35 @@ def test_predict_paths_batched(engine, image):
     assert np.isnan(res[2][0])
 
 
+def test_predict_paths_batched_mixed_instructions(engine, image):
+    """Per-path instructions batch into one guided dispatch and match the
+    same instruction passed as a scalar."""
+    eng, _ = engine
+    mixed = eng.predict_paths_batched([image, image], batch_size=2,
+                                      instructions=["center", "top-left"])
+    want_c = eng.predict_paths_batched([image], "center")[0]
+    want_tl = eng.predict_paths_batched([image], "top-left")[0]
+    np.testing.assert_allclose(mixed[0], want_c, rtol=1e-5)
+    np.testing.assert_allclose(mixed[1], want_tl, rtol=1e-5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.predict_paths_batched([image], "center", instructions=["left"])
+    with _pytest.raises(ValueError):
+        eng.predict_paths_batched([image, image], instructions=["left"])
+
+
+def test_all_instructions_batch_multi_image(engine, image):
+    """9xM single-dispatch path agrees with the per-image nine-way call."""
+    eng, _ = engine
+    both = eng.predict_all_instructions_batch([image, image])
+    single = eng.predict_all_instructions(image)
+    assert len(both) == 2
+    for name in G.INSTRUCTIONS:
+        np.testing.assert_allclose(both[0][name], single[name], rtol=1e-5)
+        np.testing.assert_allclose(both[1][name], both[0][name], rtol=1e-5)
+
+
 def test_nine_grid_layout(engine, image, tmp_path):
     from cognitive_aim_tpu.utils.visualize import create_nine_grid_layout
 

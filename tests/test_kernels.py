@@ -294,6 +294,43 @@ def test_int8_block_kernels_match_xla_chain(monkeypatch):
                                rtol=2e-3)
 
 
+def test_int8_ln_fused_kernels_match_unfused(monkeypatch):
+    """LN-fused qkv/fc1 kernels == f32 layernorm followed by the unfused
+    kernels (the fusion only moves the LN into VMEM)."""
+    _interp(monkeypatch)
+    from cognitive_aim_tpu.kernels import int8_block as IB
+    from cognitive_aim_tpu.kernels import int8_ops as I8
+
+    B, N, D, F = 2, 70, 128, 256
+    ks = jax.random.split(jax.random.PRNGKey(2), 6)
+    x = jax.random.normal(ks[0], (B, N, D), jnp.float32) * 0.5
+    g = 1.0 + 0.1 * jax.random.normal(ks[1], (D,), jnp.float32)
+    be = 0.05 * jax.random.normal(ks[2], (D,), jnp.float32)
+    w_qkv = I8.quantize_weight(jax.random.normal(ks[3], (D, 3 * D)) * 0.05)
+    w1 = I8.quantize_weight(jax.random.normal(ks[4], (D, F)) * 0.05)
+    b_qkv = jax.random.normal(ks[5], (3 * D,), jnp.float32) * 0.01
+    b1 = jnp.zeros((F,), jnp.float32)
+
+    eps = 1e-6
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + eps) * g + be
+
+    q, k, v = IB.int8_qkv_proj_ln(x, g, be, w_qkv["q"], w_qkv["s"], b_qkv,
+                                  eps=eps, n_block=64, out_dtype=jnp.float32)
+    qr, kr, vr = IB.int8_qkv_proj(xn, w_qkv["q"], w_qkv["s"], b_qkv,
+                                  n_block=64, out_dtype=jnp.float32)
+    for got, want in ((q, qr), (k, kr), (v, vr)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-4)
+
+    h8, sh = IB.int8_fc1_gelu_ln(x, g, be, w1["q"], w1["s"], b1, eps=eps,
+                                 n_block=64)
+    h8_r, sh_r = IB.int8_fc1_gelu(xn, w1["q"], w1["s"], b1, n_block=64)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(sh_r), rtol=2e-4)
+    assert np.mean(np.asarray(h8) != np.asarray(h8_r)) < 0.01
+
+
 def test_dinov2_chained_int8_matches_xla_int8(monkeypatch):
     """The chained-block dispatch (qkv_i8 + pallas_packed + gelu_approx)
     matches the XLA int8 path end-to-end through dinov2.apply."""

@@ -166,6 +166,14 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t1.params),
                     jax.tree_util.tree_leaves(t2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # sharding-aware restore: leaves land directly in their mesh sharding
+    from cognitive_aim_tpu.parallel.sharding import param_shardings
+
+    want = jax.tree_util.tree_leaves(
+        param_shardings(t2.mesh, t2.params, cfg.tensor_parallel))
+    for leaf, sh in zip(jax.tree_util.tree_leaves(t2.params), want):
+        assert leaf.sharding.is_equivalent_to(sh, leaf.ndim), (
+            leaf.sharding, sh)
 
 
 def test_resume_from_torch_checkpoint(tmp_path):
