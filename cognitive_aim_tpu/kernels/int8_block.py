@@ -12,13 +12,17 @@ the winning design:
     convert/quantize fusions at 518^2 B=8.
 
 So: fuse the whole dense chain of a block into the kernels and never hand
-XLA a bare intermediate. Three kernels:
+XLA a bare intermediate. The kernels:
 
   qkv_proj : x bf16 -> quant(VMEM) -> int8 dot [D,3D] -> dequant+bias -> bf16
   fc1_gelu : x bf16 -> quant(VMEM) -> int8 dot -> dequant+bias -> tanh-GELU
              -> requant(VMEM) -> int8 out + f32 row scales   (HBM halved)
   out_res  : (h int8 + scales | h bf16) -> int8 dot -> dequant+bias
              -> * layerscale + residual add -> bf16
+  *_ln     : qkv_proj / fc1_gelu variants with the pre-layernorm computed
+             in-VMEM (f32) before quantization — the normalized activation
+             never exists in HBM (saves a [B,N,D] write+read per LN; both
+             block layernorms use these in the chained path)
 
 All kernels keep the natural [B, N, K] activation layout with (1, n_block, K)
 blocks — flattening to [B*N, K] forces a physical relayout on TPU whenever N

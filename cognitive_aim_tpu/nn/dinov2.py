@@ -314,6 +314,31 @@ def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
     return x
 
 
+def _embed(params, images, cfg: DinoV2Config, compute_dtype):
+    """Patchify + patch embedding + CLS + interpolated position embedding.
+
+    The patch contraction is one einsum over the unflattened
+    [B, gh, p, gw, p, C] view — handing XLA the transpose unfused lets it
+    fold the (p_row, p_col, C) gather into the matmul instead of
+    materializing the [B, N, p*p*C] relayout (measured 1.01 vs 1.57 ms at
+    B=16 @518², scripts/probe_round2b.py). Same math and weight layout as
+    patchify() + matmul."""
+    B, H, W, _ = images.shape
+    p = cfg.patch_size
+    gh, gw = H // p, W // p
+    pe = params["patch_embed"]
+    w4 = pe["w"].astype(compute_dtype).reshape(p, p, 3, -1)
+    x = images.astype(compute_dtype).reshape(B, gh, p, gw, p, 3)
+    x = jnp.einsum("bhpwqc,pqcd->bhwd", x, w4)
+    x = x.reshape(B, gh * gw, -1) + pe["b"].astype(compute_dtype)
+    cls = jnp.broadcast_to(
+        params["cls_token"].astype(compute_dtype), (B, 1, cfg.hidden_size)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    pos = interpolate_pos_embed(params["pos_embed"], cfg, gh, gw)
+    return x + pos.astype(compute_dtype)
+
+
 def apply(
     params,
     images,
@@ -335,19 +360,7 @@ def apply(
       Dinov2Model.forward().last_hidden_state (ref:src/model.py:973-975 reads
       [:, 0] as CLS and [:, 1:] as patch tokens).
     """
-    B, H, W, _ = images.shape
-    gh, gw = H // cfg.patch_size, W // cfg.patch_size
-
-    x = patchify(images.astype(compute_dtype), cfg.patch_size)
-    pe = params["patch_embed"]
-    x = x @ pe["w"].astype(compute_dtype) + pe["b"].astype(compute_dtype)
-
-    cls = jnp.broadcast_to(
-        params["cls_token"].astype(compute_dtype), (B, 1, cfg.hidden_size)
-    )
-    x = jnp.concatenate([cls, x], axis=1)
-    pos = interpolate_pos_embed(params["pos_embed"], cfg, gh, gw)
-    x = x + pos.astype(compute_dtype)
+    x = _embed(params, images, cfg, compute_dtype)
 
     def _cast(a):
         # int8 weights and their f32 scales pass through untouched
@@ -403,3 +416,33 @@ def apply(
         cfg.layer_norm_eps,
     )
     return x
+
+
+def apply_pipelined(
+    params,
+    images,
+    cfg: DinoV2Config,
+    mesh,
+    *,
+    n_micro: int = 4,
+    compute_dtype=jnp.float32,
+    attn_impl: str = "xla",
+):
+    """Pipeline-parallel forward: the layer stack is sharded over the mesh's
+    `pipe` axis and driven by the GPipe schedule (parallel/pipeline.py);
+    embedding and final norm run data-parallel. Numerically identical to
+    apply() — the multi-chip latency option for the 24-layer `large`
+    backbone (the reference is single-device, SURVEY.md §2.6)."""
+    from cognitive_aim_tpu.parallel.pipeline import pipelined_scan
+
+    x = _embed(params, images, cfg, compute_dtype)
+    layers = jax.tree.map(lambda a: a.astype(compute_dtype), params["layers"])
+    x = pipelined_scan(
+        mesh, layers, x,
+        lambda lp, c: _block(lp, c, cfg, attn_impl), n_micro,
+    )
+    return L.layernorm_apply(
+        jax.tree.map(lambda a: a.astype(compute_dtype), params["final_norm"]),
+        x,
+        cfg.layer_norm_eps,
+    )

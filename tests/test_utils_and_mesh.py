@@ -144,3 +144,49 @@ def test_multihost_train_step():
     }
     logs = trainer.train_step(batch, jax.random.PRNGKey(0))
     assert np.isfinite(logs["loss"])
+
+
+def test_pipelined_backbone_matches_sequential():
+    """GPipe pipelined_scan over a (data=2, pipe=4) virtual mesh reproduces
+    the sequential lax.scan forward exactly."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from cognitive_aim_tpu.nn import dinov2
+    from cognitive_aim_tpu.parallel.pipeline import make_pipeline_mesh
+
+    cfg = dinov2.DinoV2Config(hidden_size=64, num_layers=4, num_heads=4,
+                              patch_size=14, pretrain_image_size=56)
+    params = dinov2.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 56, 56, 3)) * 0.5
+
+    want = np.asarray(dinov2.apply(params, x, cfg, fuse_qkv=False))
+    mesh = make_pipeline_mesh(4)
+    assert mesh.shape == {"data": 2, "pipe": 4}
+    got = np.asarray(
+        jax.jit(
+            lambda p, c: dinov2.apply_pipelined(p, c, cfg, mesh, n_micro=2)
+        )(params, x)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-4)
+
+
+def test_pipelined_scan_rejects_bad_shapes():
+    import pytest
+
+    import jax
+    import jax.numpy as jnp
+
+    from cognitive_aim_tpu.parallel.pipeline import (
+        make_pipeline_mesh,
+        pipelined_scan,
+    )
+
+    mesh = make_pipeline_mesh(4)
+    layers = {"w": jnp.zeros((6, 3, 3))}  # 6 layers don't divide 4 stages
+    with pytest.raises(ValueError):
+        pipelined_scan(mesh, layers, jnp.zeros((4, 3)), lambda lp, c: c, 2)
+    with pytest.raises(ValueError):
+        make_pipeline_mesh(3)  # 3 stages don't divide 8 devices
