@@ -284,7 +284,7 @@ flash_attention_packed_i8qk.defvjp(_i8qk_vjp_fwd, _i8qk_vjp_bwd)
 def _i8qk_fwd_only(q, k, v, scale: float, num_heads: int, q_block: int = 0):
     B, N, HD = q.shape
     D = HD // num_heads
-    q_block = q_block or _pick_q_block(N, max_block=704 if B <= 8 else 352)
+    q_block = q_block or _pick_q_block(N, max_block=480 if B <= 8 else 352)
     q8, sq = quantize_rows(q)
     k8, sk = quantize_rows(k)
     sq = sq * scale  # fold the softmax scale into the row scales
@@ -369,10 +369,11 @@ def _flash_packed_fwd_only(q, k, v, scale: float, num_heads: int,
                            q_block: int = 0, int8_dots: bool = False):
     B, N, HD = q.shape
     D = HD // num_heads
-    # Mosaic's scoped-VMEM accounting tightens with batch (B=16 at block 704
-    # exceeds the 16 MB limit by ~2 MB; B=8 fits); 352 keeps large batches
-    # compiling at ~4% kernel cost
-    q_block = q_block or _pick_q_block(N, max_block=704 if B <= 8 else 352)
+    # Mosaic's scoped-VMEM accounting tightens with batch and with what XLA
+    # fuses around the call: block 704 at N=1370 sits ~16.1 MB against the
+    # 16 MB scoped limit and started OOMing at B=8 once the fused-MLP kernel
+    # landed; 480 (3 blocks, +2.3% row padding vs 704) leaves ~3 MB headroom
+    q_block = q_block or _pick_q_block(N, max_block=480 if B <= 8 else 352)
     grid = (B, pl.cdiv(N, q_block))
     kernel = _flash_packed_int8_kernel if int8_dots else _flash_packed_kernel
     return pl.pallas_call(
@@ -392,3 +393,84 @@ def _flash_packed_fwd_only(q, k, v, scale: float, num_heads: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, HD), q.dtype),
     )(q, k, v)
+
+
+# --------------------------------------- fused attn_out + residual epilogue --
+def _flash_packed_out_res_kernel(q_ref, k_ref, v_ref, wq_ref, ws_ref, b_ref,
+                                 ls_ref, res_ref, o_ref, *, scale, num_heads,
+                                 head_dim, n_valid):
+    """Packed attention with the attn_out projection fused in: after the
+    per-head context is assembled in VMEM it is row-quantized and pushed
+    through the int8 [HD, HD] output projection, scaled by LayerScale and
+    added to the residual — the [B, N, HD] context never reaches HBM
+    (inference int8 path only)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    nk = k.shape[0]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, nk), dimension=1)
+    kbias = jnp.where(kidx < n_valid, 0.0, NEG_INF).astype(jnp.float32)
+
+    parts = []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + kbias
+        m = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = 1.0 / e.sum(axis=-1, keepdims=True)
+        p = (e * r).astype(v.dtype)
+        parts.append(jax.lax.dot_general(
+            p, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    ctx = jnp.concatenate(parts, axis=-1)  # [bq, HD] f32, VMEM-resident
+    cq, sc = _quant_rows(ctx)
+    acc = jax.lax.dot_general(
+        cq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sc * ws_ref[...] + b_ref[...]
+    o_ref[0] = (res_ref[0].astype(jnp.float32)
+                + ls_ref[...] * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads", "q_block"))
+def flash_attention_packed_out_res(q, k, v, wq, ws, b, ls, res,
+                                   scale: float, num_heads: int,
+                                   q_block: int = 0):
+    """res + ls * attn_out(attention(q, k, v)) in one kernel.
+
+    q, k, v: [B, N, H*D] packed; wq/ws: int8 attn_out weight + col scales;
+    b: bias; ls: LayerScale; res: [B, N, H*D] residual (the pre-LN block
+    input). Returns [B, N, H*D] in res.dtype. q_block capped at 352 — the
+    extra VMEM residents (int8 weight, f32 context, residual tile) exceed
+    Mosaic's scoped accounting at 704."""
+    B, N, HD = q.shape
+    D = HD // num_heads
+    q_block = q_block or _pick_q_block(N, max_block=352)
+    grid = (B, pl.cdiv(N, q_block))
+    qspec = pl.BlockSpec((1, q_block, HD), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM)
+    fullspec = pl.BlockSpec((1, N, HD), lambda b_, i: (b_, 0, 0),
+                            memory_space=pltpu.VMEM)
+    rowspec = pl.BlockSpec((1, HD), lambda b_, i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(
+            _flash_packed_out_res_kernel, scale=scale, num_heads=num_heads,
+            head_dim=D, n_valid=N,
+        ),
+        grid=grid,
+        in_specs=[
+            qspec, fullspec, fullspec,
+            pl.BlockSpec((HD, HD), lambda b_, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            rowspec, rowspec, rowspec, qspec,
+        ],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, N, HD), res.dtype),
+    )(q, k, v, wq, ws.reshape(1, HD), b.reshape(1, HD), ls.reshape(1, HD),
+      res)

@@ -285,6 +285,58 @@ def int8_out_residual_prequant(h8, sh, wq, ws, b, ls, res, n_block: int = 0):
       ls.reshape(1, Nout), res)
 
 
+# ------------------------------------------------------------ fused MLP -----
+def _mlp_ln_kernel(eps, x_ref, g_ref, be_ref, w1_ref, s1_ref, b1_ref,
+                   w2_ref, s2_ref, b2_ref, ls_ref, o_ref):
+    xf = x_ref[0].astype(jnp.float32)
+    xn = _ln_f32(xf, g_ref[...], be_ref[...], eps)
+    xq, sx = _quant_rows_f32(xn)
+    acc1 = jax.lax.dot_general(
+        xq, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = _gelu_tanh(acc1.astype(jnp.float32) * sx * s1_ref[...] + b1_ref[...])
+    hq, sh = _quant_rows_f32(h)
+    acc2 = jax.lax.dot_general(
+        hq, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc2.astype(jnp.float32) * sh * s2_ref[...] + b2_ref[...]
+    o_ref[0] = (xf + ls_ref[...] * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "n_block"))
+def int8_mlp_ln(x, g, be, w1q, w1s, b1, w2q, w2s, b2, ls,
+                eps: float = 1e-6, n_block: int = 0):
+    """The whole transformer MLP in ONE kernel:
+
+        x + ls * fc2(quant(gelu(fc1(quant(LN(x))))))
+
+    The [nb, F] hidden lives only in VMEM — fc1's output never reaches HBM
+    in ANY dtype (the split fc1/fc2 kernels still wrote+read an int8
+    [B, N, F] + scales, ~1 ms/step of HBM at 518^2 B16). Block rows default
+    to 352 so the f32 hidden tile (4.3 MB) plus both resident int8 weights
+    (4.5 MB) fit VMEM."""
+    B, N, K = x.shape
+    F = w1q.shape[1]
+    Nout = w2q.shape[1]
+    nb = n_block or _pick_q_block(N, 352)
+    return pl.pallas_call(
+        functools.partial(_mlp_ln_kernel, eps),
+        grid=(B, pl.cdiv(N, nb)),
+        in_specs=[
+            _xspec(nb, K), _rowspec(K), _rowspec(K),
+            _wspec(K, F), _rowspec(F), _rowspec(F),
+            _wspec(F, Nout), _rowspec(Nout), _rowspec(Nout), _rowspec(Nout),
+        ],
+        out_specs=_xspec(nb, Nout),
+        out_shape=jax.ShapeDtypeStruct((B, N, Nout), x.dtype),
+    )(x, g.astype(jnp.float32).reshape(1, K),
+      be.astype(jnp.float32).reshape(1, K),
+      w1q, w1s.reshape(1, F), b1.reshape(1, F),
+      w2q, w2s.reshape(1, Nout), b2.reshape(1, Nout), ls.reshape(1, Nout))
+
+
 def _out_res_kernel(x_ref, wq_ref, ws_ref, b_ref, ls_ref, res_ref, o_ref):
     xq, sx = _quant_rows_f32(x_ref[0].astype(jnp.float32))
     acc = jax.lax.dot_general(

@@ -274,12 +274,17 @@ def _block(p, x, cfg: DinoV2Config, attn_impl: str):
 
 
 def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
-    """Int8 inference block with the full dense chain in Pallas kernels
-    (kernels/int8_block.py): both pre-layernorms fused into the following
-    GEMM (qkv / fc1) so the normalized activation never exists in HBM, qkv
-    as one in-VMEM-quantizing GEMM, fc1 with fused GELU emitting int8 + row
-    scales, fc2/attn_out with fused LayerScale-and-residual epilogues. Same
-    math as _block to within quantization rounding (LN runs in f32 here)."""
+    """Int8 inference block in FOUR Pallas kernel launches:
+
+      1. int8_qkv_proj_ln  — LN1 + quant + fused [D,3D] GEMM + split
+      2. flash attention   — packed layout, whole K/V VMEM-resident
+      3. int8_out_residual — int8 attn_out + LayerScale + residual
+      4. int8_mlp_ln       — LN2 + quant + fc1 + GELU + requant + fc2 +
+         LayerScale + residual (the [*, F] hidden never reaches HBM)
+
+    The only bare intermediates between kernels are q/k/v, the attention
+    context, and the residual stream. Same math as _block to within
+    quantization rounding (the layernorms run in f32 here)."""
     from cognitive_aim_tpu.kernels import int8_block as IB
     from cognitive_aim_tpu.kernels.flash_attention import (
         flash_attention_packed,
@@ -297,19 +302,22 @@ def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
     if attn_impl == "pallas_packed_i8qk":
         ctx = flash_attention_packed_i8qk(qp, kp, vp, hd**-0.5, H)
     else:
+        # NOTE: flash_attention_packed_out_res (attn_out fused into the
+        # attention epilogue) measured SLOWER end-to-end (454 vs 462 img/s
+        # @518^2 B16) — the projection serializes with the attention dots
+        # inside each program, while the separate out_residual launch
+        # pipelines; kept in-tree as a tested negative result.
         ctx = flash_attention_packed(qp, kp, vp, hd**-0.5, H)
     x = IB.int8_out_residual(
         ctx, p["attn_out"]["wq"]["q"], p["attn_out"]["wq"]["s"],
         p["attn_out"]["b"], p["ls1"], x,
     )
 
-    h8, sh = IB.int8_fc1_gelu_ln(
+    x = IB.int8_mlp_ln(
         x, p["norm2"]["scale"], p["norm2"]["bias"],
-        p["fc1"]["wq"]["q"], p["fc1"]["wq"]["s"], p["fc1"]["b"], eps=eps,
-    )
-    x = IB.int8_out_residual_prequant(
-        h8, sh, p["fc2"]["wq"]["q"], p["fc2"]["wq"]["s"], p["fc2"]["b"],
-        p["ls2"], x,
+        p["fc1"]["wq"]["q"], p["fc1"]["wq"]["s"], p["fc1"]["b"],
+        p["fc2"]["wq"]["q"], p["fc2"]["wq"]["s"], p["fc2"]["b"],
+        p["ls2"], eps=eps,
     )
     return x
 

@@ -331,6 +331,63 @@ def test_int8_ln_fused_kernels_match_unfused(monkeypatch):
     assert np.mean(np.asarray(h8) != np.asarray(h8_r)) < 0.01
 
 
+def test_int8_mlp_fused_matches_split_kernels(monkeypatch):
+    """One-kernel MLP (LN+fc1+GELU+requant+fc2+LayerScale+residual) == the
+    split fc1_gelu_ln -> out_residual_prequant chain."""
+    _interp(monkeypatch)
+    from cognitive_aim_tpu.kernels import int8_block as IB
+    from cognitive_aim_tpu.kernels import int8_ops as I8
+
+    B, N, D, F = 2, 70, 128, 256
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    x = jax.random.normal(ks[0], (B, N, D), jnp.float32) * 0.5
+    g = 1.0 + 0.1 * jax.random.normal(ks[1], (D,), jnp.float32)
+    be = 0.05 * jax.random.normal(ks[2], (D,), jnp.float32)
+    w1 = I8.quantize_weight(jax.random.normal(ks[3], (D, F)) * 0.05)
+    w2 = I8.quantize_weight(jax.random.normal(ks[4], (F, D)) * 0.05)
+    b1 = jnp.zeros((F,), jnp.float32)
+    b2 = jnp.zeros((D,), jnp.float32)
+    ls = jnp.full((D,), 0.9, jnp.float32)
+
+    got = IB.int8_mlp_ln(x, g, be, w1["q"], w1["s"], b1, w2["q"], w2["s"],
+                         b2, ls, n_block=64)
+    h8, sh = IB.int8_fc1_gelu_ln(x, g, be, w1["q"], w1["s"], b1, n_block=64)
+    want = IB.int8_out_residual_prequant(h8, sh, w2["q"], w2["s"], b2, ls, x,
+                                         n_block=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4,
+                               rtol=2e-3)
+
+
+def test_flash_out_res_fused_matches_split(monkeypatch):
+    """Attention + int8 attn_out + LayerScale + residual in one kernel ==
+    packed attention followed by int8_out_residual."""
+    _interp(monkeypatch)
+    from cognitive_aim_tpu.kernels import int8_block as IB
+    from cognitive_aim_tpu.kernels import int8_ops as I8
+    from cognitive_aim_tpu.kernels.flash_attention import (
+        flash_attention_packed,
+        flash_attention_packed_out_res,
+    )
+
+    B, N, H, D = 2, 70, 4, 32
+    HD = H * D
+    ks = jax.random.split(jax.random.PRNGKey(4), 5)
+    q = jax.random.normal(ks[0], (B, N, HD), jnp.float32) * 0.5
+    k = jax.random.normal(ks[1], (B, N, HD), jnp.float32) * 0.5
+    v = jax.random.normal(ks[2], (B, N, HD), jnp.float32) * 0.5
+    res = jax.random.normal(ks[3], (B, N, HD), jnp.float32)
+    wo = I8.quantize_weight(jax.random.normal(ks[4], (HD, HD)) * 0.05)
+    b = jnp.zeros((HD,), jnp.float32)
+    ls = jnp.full((HD,), 0.9, jnp.float32)
+
+    got = flash_attention_packed_out_res(
+        q, k, v, wo["q"], wo["s"], b, ls, res, D**-0.5, H, q_block=64)
+    ctx = flash_attention_packed(q, k, v, D**-0.5, H, q_block=64)
+    want = IB.int8_out_residual(ctx, wo["q"], wo["s"], b, ls, res, n_block=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4,
+                               rtol=2e-3)
+
+
 def test_dinov2_chained_int8_matches_xla_int8(monkeypatch):
     """The chained-block dispatch (qkv_i8 + pallas_packed + gelu_approx)
     matches the XLA int8 path end-to-end through dinov2.apply."""
