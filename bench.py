@@ -100,7 +100,7 @@ def bench(batch_size: int, image_size: int, policy: str, attn: str,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=0, help="0 = sweep 8/16")
+    ap.add_argument("--batch", type=int, default=0, help="0 = sweep 8/16/24")
     ap.add_argument("--size", type=int, default=518)
     ap.add_argument("--policy", type=str, default="int8")
     ap.add_argument("--attn", type=str, default="pallas_packed")
@@ -108,7 +108,7 @@ def main():
     ap.add_argument("--k-long", type=int, default=10)
     args = ap.parse_args()
 
-    batches = [args.batch] if args.batch else [8, 16]
+    batches = [args.batch] if args.batch else [8, 16, 24]
     # fallback chain: if the fastest configuration fails to compile/run in
     # some environment, degrade gracefully instead of reporting 0
     configs = [(args.policy, args.attn)]

@@ -36,6 +36,7 @@ the float path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -163,7 +164,7 @@ def int8_qkv_proj_ln(x, g, be, wq, ws, b, eps: float = 1e-6,
     exists in HBM (saves one write + one read of [B, N, D] per layer)."""
     B, N, D = x.shape
     assert wq.shape[1] == 3 * D
-    nb = n_block or _pick_q_block(N)
+    nb = n_block or int(os.environ.get("CAIM_QKV_NB", "0")) or _pick_q_block(N)
     out = jax.ShapeDtypeStruct((B, N, D), out_dtype)
     return pl.pallas_call(
         functools.partial(_qkv_ln_split_kernel, eps),
@@ -320,7 +321,7 @@ def int8_mlp_ln(x, g, be, w1q, w1s, b1, w2q, w2s, b2, ls,
     B, N, K = x.shape
     F = w1q.shape[1]
     Nout = w2q.shape[1]
-    nb = n_block or _pick_q_block(N, 352)
+    nb = n_block or int(os.environ.get("CAIM_MLP_NB", "0")) or _pick_q_block(N, 352)
     return pl.pallas_call(
         functools.partial(_mlp_ln_kernel, eps),
         grid=(B, pl.cdiv(N, nb)),
