@@ -41,7 +41,8 @@ def model_flops_per_image(image_size: int, num_iterations: int = 3) -> float:
 
 
 def bench(batch_size: int, image_size: int, policy: str, attn: str,
-          k_short: int, k_long: int, guided: bool = True):
+          k_short: int, k_long: int, guided: bool = True,
+          token_filter: str = ""):
     import jax
     import jax.numpy as jnp
 
@@ -49,7 +50,12 @@ def bench(batch_size: int, image_size: int, policy: str, attn: str,
     from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
     from cognitive_aim_tpu.models.config import ModelArchConfig
 
-    arch = ModelArchConfig(num_iterations=3, image_size=image_size)
+    tf_kw = {}
+    if token_filter:
+        layer, keep = token_filter.split(":")
+        tf_kw = dict(token_filter_layer=int(layer),
+                     token_filter_keep=float(keep))
+    arch = ModelArchConfig(num_iterations=3, image_size=image_size, **tf_kw)
     model = CognitiveAimModel(arch, policy=policy_from_name(policy), attn_impl=attn)
     params = model.prepare_params(model.init(jax.random.PRNGKey(0)))
 
@@ -106,6 +112,9 @@ def main():
     ap.add_argument("--attn", type=str, default="pallas_packed")
     ap.add_argument("--k-short", type=int, default=2)
     ap.add_argument("--k-long", type=int, default=10)
+    ap.add_argument("--token-filter", type=str, default="",
+                    help="LAYER:KEEP opt-in approximate fast path, e.g. "
+                         "'4:0.35' (NOT used for the headline number)")
     args = ap.parse_args()
 
     batches = [args.batch] if args.batch else [8, 16, 24]
@@ -120,7 +129,8 @@ def main():
         for b in batches:
             try:
                 best = max(best, bench(b, args.size, policy, attn,
-                                       args.k_short, args.k_long))
+                                       args.k_short, args.k_long,
+                                       token_filter=args.token_filter))
             except Exception as e:
                 log(f"B={b} {policy}/{attn} failed: {type(e).__name__}: {e}")
         if best > 0:

@@ -209,11 +209,30 @@ class CognitiveAimModel:
         on the demo path per ref:demo.py:263-268).
         """
         a = self.arch
+        filter_kw = {}
+        if (a.token_filter_layer and a.token_filter_keep < 1.0 and not train):
+            # opt-in approximate fast path (token_filter_* config; OFF by
+            # default). Guided-region tokens get keep priority so the focal
+            # re-pool (ref:1400-1414 blend) sees fresh features where the
+            # instruction points.
+            filter_kw = dict(
+                filter_layer=a.token_filter_layer,
+                filter_keep=a.token_filter_keep,
+            )
+            if guidance is not None:
+                B = images.shape[0]
+                p = self.vit_cfg.patch_size
+                gh, gw = images.shape[1] // p, images.shape[2] // p
+                gvec = G.mask_table(gh, gh * gw)[jnp.asarray(guidance, jnp.int32)]
+                if gvec.ndim == 1:
+                    gvec = jnp.broadcast_to(gvec[None], (B, gh * gw))
+                filter_kw["keep_weights"] = gvec
         hs = dinov2.apply(
             params["backbone"], images, self.vit_cfg,
             compute_dtype=self.policy.backbone_compute_dtype,
             attn_impl=self.attn_impl,
             remat=train,  # per-block activation remat for training memory
+            **filter_kw,
         ).astype(jnp.float32)
         cls_token = hs[:, 0]
         patches = hs[:, 1:]

@@ -51,6 +51,13 @@ class ModelArchConfig:
     enable_hierarchical_curiosity: bool = True
     num_cameras: int = 71
     image_size: int = 224
+    # Opt-in approximate fast path (NOT reference behavior; off by default):
+    # after `token_filter_layer` full blocks, keep only the top
+    # `token_filter_keep` fraction of patch tokens (ranked by next-layer CLS
+    # attention + guidance-region priority) through the remaining blocks.
+    # Inference-only; see nn/dinov2.py and docs/PERF.md.
+    token_filter_layer: int = 0
+    token_filter_keep: float = 1.0
 
     @property
     def feature_dim(self) -> int:
@@ -177,4 +184,14 @@ def resolve_model_config(
         ),
         num_cameras=num_cameras,
         image_size=resolve_image_size(raw),
+        # new config surface (no reference equivalent): accepted at top
+        # level or under model.* regardless of lookup mode
+        token_filter_layer=int(
+            _get(raw, "token_filter_layer",
+                 model_cfg.get("token_filter_layer", 0), lookup)
+        ),
+        token_filter_keep=float(
+            _get(raw, "token_filter_keep",
+                 model_cfg.get("token_filter_keep", 1.0), lookup)
+        ),
     )

@@ -322,6 +322,83 @@ def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
     return x
 
 
+# ------------------------------------------------------- token filtering ----
+def _layer_qk_weights(lp, cfg: DinoV2Config):
+    """Extract float (Wq, bq, Wk, bk) from whichever parameter layout the
+    (possibly transformed) layer stack uses: separate q/k, fused qkv_w, or
+    the int8-quantized qkv_i8 {q: int8 [D, 3D], s: f32 [3D]}."""
+    D = cfg.hidden_size
+    if "qkv_i8" in lp:
+        w = lp["qkv_i8"]["wq"]["q"].astype(jnp.float32) * lp["qkv_i8"]["wq"]["s"]
+        b = lp["qkv_i8"]["b"]
+        return w[:, :D], b[:D], w[:, D:2 * D], b[D:2 * D]
+    if "qkv_w" in lp:
+        w, b = lp["qkv_w"], lp["qkv_b"]
+        return w[:, :D], b[:D], w[:, D:2 * D], b[D:2 * D]
+
+    def _unq(p):
+        if "wq" in p:
+            return p["wq"]["q"].astype(jnp.float32) * p["wq"]["s"], p.get("b")
+        return p["w"], p.get("b")
+
+    wq, bq = _unq(lp["q"])
+    wk, bk = _unq(lp["k"])
+    return wq, bq, wk, bk
+
+
+def _cls_importance(lp, x, cfg: DinoV2Config):
+    """Patch-token importance [B, P]: the CLS row of the NEXT layer's
+    attention (EViT-style, arXiv:2506.01519 pattern), averaged over heads.
+    Costs one [B, N, D] x [D, D] key projection plus a [B, 1, N] score row —
+    ~0.5% of a full forward; the layer then recomputes q/k for the kept set.
+    """
+    H, hd = cfg.num_heads, cfg.head_dim
+    h = L.layernorm_apply(
+        jax.tree.map(lambda a: a.astype(jnp.float32), lp["norm1"]),
+        x.astype(jnp.float32), cfg.layer_norm_eps,
+    )
+    wq, bq, wk, bk = _layer_qk_weights(lp, cfg)
+    q_cls = h[:, 0] @ wq.astype(jnp.float32)
+    if bq is not None:
+        q_cls = q_cls + bq
+    k = h @ wk.astype(jnp.float32)
+    if bk is not None:
+        k = k + bk
+    B, N, D = k.shape
+    q_cls = q_cls.reshape(B, H, hd)
+    k = k.reshape(B, N, H, hd)
+    scores = jnp.einsum("bhd,bnhd->bhn", q_cls, k) * (hd ** -0.5)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return probs.mean(axis=1)[:, 1:]  # patch columns
+
+
+def _filter_tokens(x, importance, keep_weights, k_keep: int):
+    """Keep CLS + the k_keep highest-priority patch tokens.
+
+    Priority = CLS attention + 1e5 * (guidance weight - 1): guided-region
+    tokens (mask weight > 1, models/guidance.py tiers 5/3/2/1.5) always
+    outrank background, core outranks mid tier, and within a tier the CLS
+    attention decides. Returns ([B, 1+k, D] filtered stream, [B, k] patch
+    indices, ascending so the kept sub-sequence preserves spatial order)."""
+    if keep_weights is not None:
+        importance = importance + 1e5 * (
+            keep_weights.astype(jnp.float32) - 1.0
+        )
+    _, idx = jax.lax.top_k(importance, k_keep)
+    idx = jnp.sort(idx, axis=1)
+    kept = jnp.take_along_axis(x[:, 1:], idx[..., None], axis=1)
+    return jnp.concatenate([x[:, :1], kept], axis=1), idx
+
+
+def _scatter_tokens(x_full, x_filtered, idx):
+    """Write the updated CLS + kept patch tokens back into the full-length
+    stream (dropped tokens keep their filter-point values)."""
+    patches = jax.vmap(lambda p, i, v: p.at[i].set(v))(
+        x_full[:, 1:], idx, x_filtered[:, 1:]
+    )
+    return jnp.concatenate([x_filtered[:, :1], patches], axis=1)
+
+
 def _embed(params, images, cfg: DinoV2Config, compute_dtype):
     """Patchify + patch embedding + CLS + interpolated position embedding.
 
@@ -357,12 +434,24 @@ def apply(
     fuse_qkv: bool = True,
     unroll: int = 1,
     remat: bool = False,
+    filter_layer: int = 0,
+    filter_keep: float = 1.0,
+    keep_weights=None,
 ) -> jnp.ndarray:
     """Forward pass.
 
     Args:
       images: [B, H, W, 3] normalized pixels (NHWC; the io layer converts
         from the reference's NCHW convention).
+      filter_layer / filter_keep: opt-in token-filtering fast path (OFF by
+        default — exact reference numerics): after `filter_layer` full
+        blocks, keep CLS + the `filter_keep` fraction of patch tokens ranked
+        by next-layer CLS attention (+ guidance priority via keep_weights,
+        a [B, P] mask-weight array); remaining blocks run on the short
+        stream; dropped tokens re-enter frozen at their filter-point values
+        before the final norm, so the output keeps the full [B, 1+N, D]
+        shape and token order. Approximate — see docs/PERF.md for measured
+        throughput/δ-depth tradeoffs.
     Returns:
       last_hidden_state [B, 1 + N, D] after the final layernorm, matching
       Dinov2Model.forward().last_hidden_state (ref:src/model.py:973-975 reads
@@ -417,7 +506,24 @@ def apply(
     def body(carry, layer_params):
         return block(layer_params, carry, cfg, attn_impl), None
 
-    x, _ = jax.lax.scan(body, x, layers, unroll=unroll)
+    P = x.shape[1] - 1
+    filtering = (
+        0 < filter_layer < cfg.num_layers
+        and 0.0 < filter_keep < 1.0
+    )
+    if filtering:
+        pre = jax.tree.map(lambda a: a[:filter_layer], layers)
+        post = jax.tree.map(lambda a: a[filter_layer:], layers)
+        x, _ = jax.lax.scan(body, x, pre, unroll=unroll)
+        first_post = jax.tree.map(lambda a: a[0], post)
+        imp = _cls_importance(first_post, x, cfg)
+        k_keep = max(1, int(round(filter_keep * P)))
+        x_full = x
+        x, idx = _filter_tokens(x, imp, keep_weights, k_keep)
+        x, _ = jax.lax.scan(body, x, post, unroll=unroll)
+        x = _scatter_tokens(x_full.astype(x.dtype), x, idx)
+    else:
+        x, _ = jax.lax.scan(body, x, layers, unroll=unroll)
     x = L.layernorm_apply(
         jax.tree.map(lambda a: a.astype(compute_dtype), params["final_norm"]),
         x,

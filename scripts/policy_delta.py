@@ -55,6 +55,13 @@ def main():
     ap.add_argument("--layers", type=int, default=0,
                     help="override backbone depth (0 = full ViT-B)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--token-filter", type=str, default="",
+                    help="LAYER:KEEP — also measure the int8 + token-filter "
+                         "fast path (nn/dinov2.py) vs f32. NOTE: random-init "
+                         "weights give near-uniform CLS attention, so the "
+                         "measured delta is a PESSIMISTIC bound relative to "
+                         "trained weights (whose CLS attention concentrates "
+                         "on depth-relevant structure).")
     args = ap.parse_args()
 
     import numpy as np
@@ -96,6 +103,19 @@ def main():
         cfg_path, None, policy="int8", attn_impl="pallas_packed",
         noise_mode="zeros", save_images=False, seed=args.seed, vit_cfg=vit,
     )
+    if args.token_filter:
+        layer, keep = args.token_filter.split(":")
+        tf_cfg = dict(cfg)
+        tf_cfg["model"] = {"token_filter_layer": int(layer),
+                          "token_filter_keep": float(keep)}
+        tf_path = "/tmp/policy_delta_tf_cfg.yaml"
+        with open(tf_path, "w") as f:
+            yaml.safe_dump(tf_cfg, f)
+        engines["int8+tf"] = CognitiveAimInference(
+            tf_path, None, policy="int8", attn_impl="pallas_packed",
+            noise_mode="zeros", save_images=False, seed=args.seed,
+            vit_cfg=vit,
+        )
 
     imgs = synth_images(args.n, args.image_size, args.seed)
     norm = ((imgs - np.asarray(IMAGENET_MEAN, np.float32))
@@ -121,20 +141,23 @@ def main():
                 preds[name][gname].append(np.asarray(out.depth[:, 0], np.float64))
                 confs[name][gname].append(np.asarray(out.confidence[:, 0], np.float64))
 
-    print(f"\nint8-fast-path vs f32, n={args.n} @ {args.image_size}^2 "
-          f"(per-instruction AbsRel of depth, |dconf|):")
-    worst = 0.0
-    for gname in G.INSTRUCTIONS:
-        a = np.concatenate(preds["f32"][gname])
-        b = np.concatenate(preds["int8"][gname])
-        ca = np.concatenate(confs["f32"][gname])
-        cb = np.concatenate(confs["int8"][gname])
-        absrel = float(np.mean(np.abs(b - a) / np.maximum(np.abs(a), 1e-6)))
-        dconf = float(np.mean(np.abs(cb - ca)))
-        worst = max(worst, absrel)
-        print(f"  {gname:>13s}: AbsRel={absrel:.5f}  |dconf|={dconf:.5f}")
-    print(f"  worst-instruction AbsRel delta: {worst:.5f} "
-          f"({'within' if worst < 0.01 else 'EXCEEDS'} the 1% parity budget)")
+    for name in engines:
+        if name == "f32":
+            continue
+        print(f"\n{name} fast path vs f32, n={args.n} @ {args.image_size}^2 "
+              f"(per-instruction AbsRel of depth, |dconf|):")
+        worst = 0.0
+        for gname in G.INSTRUCTIONS:
+            a = np.concatenate(preds["f32"][gname])
+            b = np.concatenate(preds[name][gname])
+            ca = np.concatenate(confs["f32"][gname])
+            cb = np.concatenate(confs[name][gname])
+            absrel = float(np.mean(np.abs(b - a) / np.maximum(np.abs(a), 1e-6)))
+            dconf = float(np.mean(np.abs(cb - ca)))
+            worst = max(worst, absrel)
+            print(f"  {gname:>13s}: AbsRel={absrel:.5f}  |dconf|={dconf:.5f}")
+        print(f"  worst-instruction AbsRel delta: {worst:.5f} "
+              f"({'within' if worst < 0.01 else 'EXCEEDS'} the 1% parity budget)")
 
 
 if __name__ == "__main__":
