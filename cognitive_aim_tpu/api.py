@@ -53,9 +53,14 @@ class CognitiveAimInference:
         save_images: bool = True,
         output_dir: str = "demo_results",
         vit_cfg=None,  # testing hook: override the backbone size
+        token_filter: str = "",  # "LAYER:KEEP" opt-in approximate fast path
     ):
         with open(config_path, "r", encoding="utf-8") as f:
             self.config = yaml.safe_load(f)
+        if token_filter:
+            layer, keep = token_filter.split(":")
+            self.config["token_filter_layer"] = int(layer)
+            self.config["token_filter_keep"] = float(keep)
 
         # demo.py's default module injection (ref:demo.py:46-53)
         if "cognitive_modules" not in self.config and "cognitive_modules" not in self.config.get("model", {}):

@@ -218,6 +218,7 @@ class CognitiveAimModel:
             filter_kw = dict(
                 filter_layer=a.token_filter_layer,
                 filter_keep=a.token_filter_keep,
+                filter_fuse=a.token_filter_fuse,
             )
             if guidance is not None:
                 B = images.shape[0]

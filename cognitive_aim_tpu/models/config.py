@@ -58,6 +58,7 @@ class ModelArchConfig:
     # Inference-only; see nn/dinov2.py and docs/PERF.md.
     token_filter_layer: int = 0
     token_filter_keep: float = 1.0
+    token_filter_fuse: bool = True  # EViT-style fused context token
 
     @property
     def feature_dim(self) -> int:
@@ -193,5 +194,9 @@ def resolve_model_config(
         token_filter_keep=float(
             _get(raw, "token_filter_keep",
                  model_cfg.get("token_filter_keep", 1.0), lookup)
+        ),
+        token_filter_fuse=bool(
+            _get(raw, "token_filter_fuse",
+                 model_cfg.get("token_filter_fuse", True), lookup)
         ),
     )

@@ -372,29 +372,46 @@ def _cls_importance(lp, x, cfg: DinoV2Config):
     return probs.mean(axis=1)[:, 1:]  # patch columns
 
 
-def _filter_tokens(x, importance, keep_weights, k_keep: int):
+def _filter_tokens(x, importance, keep_weights, k_keep: int,
+                   fuse: bool = False):
     """Keep CLS + the k_keep highest-priority patch tokens.
 
     Priority = CLS attention + 1e5 * (guidance weight - 1): guided-region
     tokens (mask weight > 1, models/guidance.py tiers 5/3/2/1.5) always
     outrank background, core outranks mid tier, and within a tier the CLS
-    attention decides. Returns ([B, 1+k, D] filtered stream, [B, k] patch
-    indices, ascending so the kept sub-sequence preserves spatial order)."""
+    attention decides. With fuse=True an extra token — the CLS-attention-
+    weighted mean of the DROPPED tokens (EViT-style) — is appended so the
+    kept set retains aggregate global context through the remaining blocks.
+    Returns ([B, 1+k(+1), D] filtered stream, [B, k] patch indices,
+    ascending so the kept sub-sequence preserves spatial order)."""
+    prio = importance
     if keep_weights is not None:
-        importance = importance + 1e5 * (
-            keep_weights.astype(jnp.float32) - 1.0
-        )
-    _, idx = jax.lax.top_k(importance, k_keep)
+        prio = prio + 1e5 * (keep_weights.astype(jnp.float32) - 1.0)
+    _, idx = jax.lax.top_k(prio, k_keep)
     idx = jnp.sort(idx, axis=1)
     kept = jnp.take_along_axis(x[:, 1:], idx[..., None], axis=1)
-    return jnp.concatenate([x[:, :1], kept], axis=1), idx
+    parts = [x[:, :1], kept]
+    if fuse:
+        B, P = importance.shape
+        kept_mask = jnp.zeros((B, P), x.dtype).at[
+            jnp.arange(B)[:, None], idx
+        ].set(1.0)
+        w = importance.astype(x.dtype) * (1.0 - kept_mask)
+        denom = w.sum(axis=1, keepdims=True) + jnp.asarray(1e-9, x.dtype)
+        fused = (x[:, 1:] * w[..., None]).sum(axis=1, keepdims=True) / (
+            denom[..., None]
+        )
+        parts.append(fused)
+    return jnp.concatenate(parts, axis=1), idx
 
 
 def _scatter_tokens(x_full, x_filtered, idx):
     """Write the updated CLS + kept patch tokens back into the full-length
-    stream (dropped tokens keep their filter-point values)."""
+    stream (dropped tokens keep their filter-point values). Any trailing
+    fused-context token beyond the k kept patches is discarded."""
+    k = idx.shape[1]
     patches = jax.vmap(lambda p, i, v: p.at[i].set(v))(
-        x_full[:, 1:], idx, x_filtered[:, 1:]
+        x_full[:, 1:], idx, x_filtered[:, 1:1 + k]
     )
     return jnp.concatenate([x_filtered[:, :1], patches], axis=1)
 
@@ -436,6 +453,7 @@ def apply(
     remat: bool = False,
     filter_layer: int = 0,
     filter_keep: float = 1.0,
+    filter_fuse: bool = True,
     keep_weights=None,
 ) -> jnp.ndarray:
     """Forward pass.
@@ -519,7 +537,9 @@ def apply(
         imp = _cls_importance(first_post, x, cfg)
         k_keep = max(1, int(round(filter_keep * P)))
         x_full = x
-        x, idx = _filter_tokens(x, imp, keep_weights, k_keep)
+        # the fused context token only exists when something was dropped
+        x, idx = _filter_tokens(x, imp, keep_weights, k_keep,
+                                fuse=filter_fuse and k_keep < P)
         x, _ = jax.lax.scan(body, x, post, unroll=unroll)
         x = _scatter_tokens(x_full.astype(x.dtype), x, idx)
     else:

@@ -44,6 +44,11 @@ def main():
                              "listed run unguided, like plain --image_dir")
     parser.add_argument("--save-json", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--token-filter", type=str, default="",
+                        help="LAYER:KEEP opt-in approximate fast path "
+                             "(e.g. 2:0.25 = 2.5x throughput @518^2; "
+                             "exact reference numerics when unset — see "
+                             "docs/PERF.md)")
     args = parser.parse_args()
 
     if not args.image and not args.image_dir:
@@ -68,6 +73,7 @@ def main():
         attn_impl=args.attn,
         seed=args.seed,
         noise_mode="zeros" if args.deterministic else "sample",
+        token_filter=args.token_filter,
     )
 
     if args.image:

@@ -64,6 +64,31 @@ def test_guided_region_always_kept(setup):
         assert np.all(np.diff(idx[b]) > 0)  # ascending (spatial order kept)
 
 
+def test_fused_context_token(setup):
+    params, images = setup
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp = dinov2._cls_importance(first, x, CFG)
+    xf, idx = dinov2._filter_tokens(x, imp, None, 4, fuse=True)
+    assert xf.shape == (2, 1 + 4 + 1, 64)
+    # the fused token is the importance-weighted mean of the DROPPED tokens
+    idx_np = np.asarray(idx)
+    for b in range(2):
+        dropped = sorted(set(range(16)) - set(idx_np[b].tolist()))
+        w = np.asarray(imp)[b, dropped]
+        expect = (np.asarray(x)[b, 1:][dropped] * w[:, None]).sum(0) / (
+            w.sum() + 1e-9
+        )
+        np.testing.assert_allclose(np.asarray(xf)[b, -1], expect, atol=1e-5)
+    # scatter must discard it and restore full length
+    out = dinov2._scatter_tokens(x, xf, idx)
+    assert out.shape == x.shape
+    # output with fuse on still finite end-to-end
+    full = dinov2.apply(params, images, CFG, filter_layer=2,
+                        filter_keep=0.25, filter_fuse=True)
+    assert np.all(np.isfinite(np.asarray(full)))
+
+
 def test_model_level_threading():
     from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
     from cognitive_aim_tpu.models.config import ModelArchConfig
