@@ -116,6 +116,45 @@ def test_model_level_threading():
     assert np.all(np.isfinite(np.asarray(out_t.depth)))
 
 
+def test_filtered_forward_dp_sharded():
+    """The filtered guided forward (top_k + gather + scatter) composes with
+    a data-parallel NamedSharding over the 8-virtual-device mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+    from cognitive_aim_tpu.models.config import ModelArchConfig
+
+    assert jax.device_count() == 8
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    arch = ModelArchConfig(
+        num_iterations=2, image_size=56, token_filter_layer=2,
+        token_filter_keep=0.5,
+    )
+    model = CognitiveAimModel(arch, vit_cfg=CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    images = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (16, 56, 56, 3)),
+        NamedSharding(mesh, P("data")),
+    )
+    exif = {
+        "camera_idx": jnp.zeros((16,), jnp.int32),
+        "focal_length": jnp.full((16,), 50.0),
+        "aperture": jnp.full((16,), 2.8),
+        "iso": jnp.full((16,), 100.0),
+    }
+    exif = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+            for k, v in exif.items()}
+    gidx = jax.device_put(
+        jnp.arange(16, dtype=jnp.int32) % 9, NamedSharding(mesh, P("data"))
+    )
+    fwd = jax.jit(lambda p, x, e, g: model.apply(
+        p, x, e, guidance=g, rng=jax.random.PRNGKey(2)
+    ))
+    out = fwd(params, images, exif, gidx)
+    assert out.depth.shape == (16, 1)
+    assert np.all(np.isfinite(np.asarray(out.depth)))
+
+
 def test_config_resolver_reads_token_filter():
     from cognitive_aim_tpu.models.config import resolve_model_config
 
