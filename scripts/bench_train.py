@@ -42,13 +42,14 @@ print(f"train step B={B} S={S} frozen={frozen}: {dt/N*1e3:.1f} ms/step "
 import jax.numpy as jnp
 db = tr._device_batch(batch)
 cur_on = jnp.asarray(True)
+kl_w = jnp.asarray(0.1, jnp.float32)
 p, o = tr.params, tr.opt_state
 key = jax.random.PRNGKey(0)
-p, o, lg = tr._step_fn(p, o, db, key, cur_on)  # warm (already compiled)
+p, o, lg = tr._step_fn(p, o, db, key, cur_on, kl_w)  # warm (already compiled)
 t0 = time.perf_counter()
 N2 = 30
 for i in range(N2):
-    p, o, lg = tr._step_fn(p, o, db, jax.random.PRNGKey(i), cur_on)
+    p, o, lg = tr._step_fn(p, o, db, jax.random.PRNGKey(i), cur_on, kl_w)
 _ = float(lg["loss"])
 dt2 = time.perf_counter() - t0
 print(f"device-only train step: {dt2/N2*1e3:.1f} ms/step ({B*N2/dt2:.0f} img/s)",

@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--layers", type=int, default=0,
                     help="override backbone depth (0 = full ViT-B)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint", type=str, default=None,
+                    help="optional .npz/.pth loaded into every engine — use "
+                         "scripts/train_synth_ckpt.py output to measure the "
+                         "deltas on TRAINED weights instead of random init")
     ap.add_argument("--token-filter", type=str, default="",
                     help="LAYER:KEEP — also measure the int8 + token-filter "
                          "fast path (nn/dinov2.py) vs f32. NOTE: random-init "
@@ -94,13 +98,13 @@ def main():
 
     engines = {
         "f32": CognitiveAimInference(
-            cfg_path, None, policy="f32", attn_impl="xla",
+            cfg_path, args.checkpoint, policy="f32", attn_impl="xla",
             noise_mode="zeros", save_images=False, seed=args.seed, vit_cfg=vit,
         ),
     }
     # share the float weights so only the numeric path differs
     engines["int8"] = CognitiveAimInference(
-        cfg_path, None, policy="int8", attn_impl="pallas_packed",
+        cfg_path, args.checkpoint, policy="int8", attn_impl="pallas_packed",
         noise_mode="zeros", save_images=False, seed=args.seed, vit_cfg=vit,
     )
     if args.token_filter:
@@ -112,7 +116,7 @@ def main():
         with open(tf_path, "w") as f:
             yaml.safe_dump(tf_cfg, f)
         engines["int8+tf"] = CognitiveAimInference(
-            tf_path, None, policy="int8", attn_impl="pallas_packed",
+            tf_path, args.checkpoint, policy="int8", attn_impl="pallas_packed",
             noise_mode="zeros", save_images=False, seed=args.seed,
             vit_cfg=vit,
         )

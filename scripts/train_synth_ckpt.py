@@ -1,0 +1,124 @@
+"""Train the full model (backbone unfrozen) on synthetic structured scenes
+with a deterministic depth law, and save an engine-format .npz checkpoint.
+
+Purpose: give `scripts/policy_delta.py --checkpoint` a set of TRAINED
+weights so the token-filter delta is measured against CLS attention that
+actually concentrates on scene structure (random init is near-uniform — a
+pessimistic bound; the real DINOv2 .pth is unreachable in this zero-egress
+environment, ref:/root/reference/checkpoints/README.md:7).
+
+Depth law (learnable from pixels alone): d = 0.5 + 2*mean_luma(center 1/3
+crop) + 0.5*vertical_gradient. The model must attend the center region and
+the global tilt to fit it — structure a token filter should preserve.
+
+    python scripts/train_synth_ckpt.py --out /tmp/synth_ft.npz \
+        [--steps 400] [--batch 32] [--image-size 224] [--lr 1e-4]
+
+Runs on the TPU; ~5 min at the defaults (device-staged batches, no
+per-step H2D).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from policy_delta import synth_images  # noqa: E402
+
+
+def depth_law(imgs_01: np.ndarray) -> np.ndarray:
+    """[N, S, S, 3] in [0,1] -> scalar depth per image."""
+    s = imgs_01.shape[1]
+    lo, hi = s // 3, 2 * s // 3
+    luma = imgs_01.mean(-1)
+    center = luma[:, lo:hi, lo:hi].mean((1, 2))
+    tilt = luma[:, hi:, :].mean((1, 2)) - luma[:, :lo, :].mean((1, 2))
+    return (0.5 + 2.0 * center + 0.5 * tilt).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default="/tmp/synth_ft.npz")
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--n-images", type=int, default=512)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cognitive_aim_tpu.api import flatten_tree
+    from cognitive_aim_tpu.io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+    from cognitive_aim_tpu.models.config import ModelArchConfig
+    from cognitive_aim_tpu.train.trainer import TrainConfig, Trainer
+
+    # must match the arch policy_delta.py resolves from its config (module
+    # set, num_iterations=6, num_cameras=71) so the checkpoint merges clean
+    arch = ModelArchConfig(
+        num_iterations=6, image_size=args.image_size,
+        freeze_backbone=False, use_lora=False,
+    )
+    model = CognitiveAimModel(arch, attn_impl="pallas_packed")
+    params = model.init(jax.random.PRNGKey(args.seed))
+    cfg = TrainConfig(
+        epochs=1, batch_size=args.batch, steps_per_epoch=args.steps,
+        learning_rate=args.lr, freeze_backbone=False,
+    )
+    tr = Trainer(model, params, cfg, output_dir="/tmp/train_synth_out")
+
+    imgs01 = synth_images(args.n_images, args.image_size, args.seed)
+    depths = depth_law(imgs01)
+    norm = ((imgs01 - np.asarray(IMAGENET_MEAN, np.float32))
+            / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
+
+    B = args.batch
+    n_stage = max(1, min(args.n_images // B, 12))
+    staged = []
+    for i in range(n_stage):
+        sl = slice(i * B, (i + 1) * B)
+        staged.append(tr._device_batch({
+            "images": norm[sl],
+            "depths": depths[sl],
+            "exif": {
+                "camera_idx": np.zeros(B, np.int32),
+                "focal_length": np.full(B, 0.25, np.float32),
+                "aperture": np.full(B, 0.127, np.float32),
+                "iso": np.full(B, 0.016, np.float32),
+            },
+        }))
+
+    p, o = tr.params, tr.opt_state
+    cur_on = jnp.asarray(True)
+    kl_w = jnp.asarray(0.1, jnp.float32)
+    first = last = None
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        key = jax.random.PRNGKey(step)
+        p, o, lg = tr._step_fn(p, o, staged[step % n_stage], key, cur_on,
+                               kl_w)
+        if step == 0 or step == args.steps - 1 or step % 50 == 0:
+            loss = float(lg["loss"])
+            if first is None:
+                first = loss
+            last = loss
+            print(f"step {step}: loss={loss:.4f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    print(f"loss {first:.4f} -> {last:.4f} "
+          f"({'DECREASED' if last < first else 'did NOT decrease'})")
+
+    flat = flatten_tree(jax.device_get(p))
+    np.savez(args.out, **flat)
+    print(f"wrote {args.out} ({len(flat)} tensors)")
+
+
+if __name__ == "__main__":
+    main()
