@@ -50,12 +50,10 @@ def bench(batch_size: int, image_size: int, policy: str, attn: str,
     from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
     from cognitive_aim_tpu.models.config import ModelArchConfig
 
-    tf_kw = {}
-    if token_filter:
-        layer, keep = token_filter.split(":")
-        tf_kw = dict(token_filter_layer=int(layer),
-                     token_filter_keep=float(keep))
-    arch = ModelArchConfig(num_iterations=3, image_size=image_size, **tf_kw)
+    from cognitive_aim_tpu.models.config import parse_token_filter
+
+    arch = ModelArchConfig(num_iterations=3, image_size=image_size,
+                           **parse_token_filter(token_filter))
     model = CognitiveAimModel(arch, policy=policy_from_name(policy), attn_impl=attn)
     params = model.prepare_params(model.init(jax.random.PRNGKey(0)))
 

@@ -16,6 +16,7 @@ Differences by design:
 from __future__ import annotations
 
 import json
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -34,7 +35,10 @@ from cognitive_aim_tpu.io.preprocess import (
 )
 from cognitive_aim_tpu.models import guidance as G
 from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
-from cognitive_aim_tpu.models.config import resolve_model_config
+from cognitive_aim_tpu.models.config import (
+    parse_token_filter,
+    resolve_model_config,
+)
 from cognitive_aim_tpu.utils.visualize import save_prediction_image
 
 
@@ -58,9 +62,7 @@ class CognitiveAimInference:
         with open(config_path, "r", encoding="utf-8") as f:
             self.config = yaml.safe_load(f)
         if token_filter:
-            layer, keep = token_filter.split(":")
-            self.config["token_filter_layer"] = int(layer)
-            self.config["token_filter_keep"] = float(keep)
+            self.config.update(parse_token_filter(token_filter))
 
         # demo.py's default module injection (ref:demo.py:46-53)
         if "cognitive_modules" not in self.config and "cognitive_modules" not in self.config.get("model", {}):
@@ -81,6 +83,7 @@ class CognitiveAimInference:
         self.image_size = self.arch.image_size
         self.camera_to_id = {"unknown": 0}  # ref:demo.py:85
         self._rng = jax.random.PRNGKey(seed)
+        self._rng_lock = threading.Lock()
 
         self.params = self.model.init(jax.random.PRNGKey(seed))
         if checkpoint_path:
@@ -150,7 +153,11 @@ class CognitiveAimInference:
 
     # ---------------------------------------------------------- predict ----
     def _next_key(self):
-        self._rng, k = jax.random.split(self._rng)
+        # lock: the HTTP server calls this from its dispatcher thread AND
+        # per-request handler threads — an unguarded split can hand two
+        # callers the same key (correlated noise) or drop an update
+        with self._rng_lock:
+            self._rng, k = jax.random.split(self._rng)
         return k
 
     def _prep_image(self, image_path: str):

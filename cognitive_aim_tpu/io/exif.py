@@ -25,18 +25,27 @@ def extract_exif(image_path: str) -> Optional[Dict[str, Any]]:
         import warnings
 
         from PIL import Image
-        from PIL.ExifTags import TAGS
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            image = Image.open(image_path)
+            return extract_exif_from_pil(Image.open(image_path))
+    except Exception:
+        return None
+
+
+def extract_exif_from_pil(image) -> Optional[Dict[str, Any]]:
+    """extract_exif for an already-open PIL image (in-memory uploads — the
+    HTTP serving path — carry EXIF too; same plausibility ranges)."""
+    try:
+        from PIL.ExifTags import TAGS
+
+        try:
+            exif_data = image._getexif()
+        except Exception:
             try:
-                exif_data = image._getexif()
+                exif_data = dict(image.getexif().items()) or None
             except Exception:
-                try:
-                    exif_data = dict(image.getexif().items()) or None
-                except Exception:
-                    exif_data = None
+                exif_data = None
         if exif_data is None:
             return None
 

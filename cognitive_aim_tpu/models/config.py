@@ -101,6 +101,17 @@ def resolve_image_size(raw: Mapping, default: int = 224) -> int:
     return default
 
 
+def parse_token_filter(spec: str) -> dict:
+    """'LAYER:KEEP' CLI spec -> {token_filter_layer, token_filter_keep}
+    (empty spec -> {}). Single parse point for api.py / bench.py /
+    scripts/policy_delta.py."""
+    if not spec:
+        return {}
+    layer, keep = spec.split(":")
+    return {"token_filter_layer": int(layer),
+            "token_filter_keep": float(keep)}
+
+
 DEFAULT_COGNITIVE_MODULES = (
     # demo.py's injected default (ref:demo.py:48-52)
     "ambient_stream",

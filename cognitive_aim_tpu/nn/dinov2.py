@@ -376,17 +376,22 @@ def _filter_tokens(x, importance, keep_weights, k_keep: int,
                    fuse: bool = False):
     """Keep CLS + the k_keep highest-priority patch tokens.
 
-    Priority = CLS attention + 1e5 * (guidance weight - 1): guided-region
+    Priority = CLS attention + 10 * (guidance weight - 1): guided-region
     tokens (mask weight > 1, models/guidance.py tiers 5/3/2/1.5) always
     outrank background, core outranks mid tier, and within a tier the CLS
-    attention decides. With fuse=True an extra token — the CLS-attention-
-    weighted mean of the DROPPED tokens (EViT-style) — is appended so the
-    kept set retains aggregate global context through the remaining blocks.
-    Returns ([B, 1+k(+1), D] filtered stream, [B, k] patch indices,
-    ascending so the kept sub-sequence preserves spatial order)."""
+    attention decides. The multiplier must stay small enough that the tier
+    offsets (>= 5 here, tiers separated by >= 0.5) don't swamp f32
+    precision against the <= 1.0 importances — an earlier 1e5 offset
+    rounded the importance away entirely and degraded within-tier
+    selection to lowest-index order. With fuse=True an extra token — the
+    CLS-attention-weighted mean of the DROPPED tokens (EViT-style) — is
+    appended so the kept set retains aggregate global context through the
+    remaining blocks. Returns ([B, 1+k(+1), D] filtered stream, [B, k]
+    patch indices, ascending so the kept sub-sequence preserves spatial
+    order)."""
     prio = importance
     if keep_weights is not None:
-        prio = prio + 1e5 * (keep_weights.astype(jnp.float32) - 1.0)
+        prio = prio + 10.0 * (keep_weights.astype(jnp.float32) - 1.0)
     _, idx = jax.lax.top_k(prio, k_keep)
     idx = jnp.sort(idx, axis=1)
     kept = jnp.take_along_axis(x[:, 1:], idx[..., None], axis=1)

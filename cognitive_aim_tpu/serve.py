@@ -38,7 +38,7 @@ import numpy as np
 
 
 class _Pending:
-    __slots__ = ("image", "exif", "gidx", "event", "result")
+    __slots__ = ("image", "exif", "gidx", "event", "result", "abandoned")
 
     def __init__(self, image, exif, gidx):
         self.image = image      # [H, W, 3] float32 normalized
@@ -46,29 +46,47 @@ class _Pending:
         self.gidx = int(gidx)
         self.event = threading.Event()
         self.result = None      # (depth, confidence) | Exception
+        self.abandoned = False  # waiter timed out; don't spend device time
 
 
 class BatchingServer:
     """Owns the engine and the micro-batching dispatcher thread."""
 
-    def __init__(self, engine, max_batch: int = 16, max_delay_ms: float = 5.0):
-        import jax.numpy as jnp  # noqa: F401  (engine owns jax state)
+    def __init__(self, engine, max_batch: int = 16, max_delay_ms: float = 5.0,
+                 request_timeout: float = 120.0, warmup: bool = True):
+        import jax.numpy as jnp
 
         self.engine = engine
         self.max_batch = max_batch
         self.max_delay = max_delay_ms / 1e3
+        self.request_timeout = request_timeout
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        if warmup:
+            # compile the ONE padded-batch graph before accepting traffic —
+            # otherwise the first requests eat the (possibly minutes-long)
+            # TPU compile against their own timeout
+            size = engine.image_size
+            engine._guided(
+                engine.params,
+                jnp.zeros((max_batch, size, size, 3), jnp.float32),
+                {"camera_idx": jnp.zeros((max_batch,), jnp.int32),
+                 "focal_length": jnp.full((max_batch,), 50.0),
+                 "aperture": jnp.full((max_batch,), 2.8),
+                 "iso": jnp.full((max_batch,), 100.0)},
+                jnp.zeros((max_batch,), jnp.int32), engine._next_key(),
+            ).depth.block_until_ready()
         self.dispatcher = threading.Thread(target=self._run, daemon=True)
         self.dispatcher.start()
 
     # ------------------------------------------------------------ intake ----
-    def submit(self, image_np, exif_scalars, instruction: str, timeout=30.0):
+    def submit(self, image_np, exif_scalars, instruction: str, timeout=None):
         from cognitive_aim_tpu.models import guidance as G
 
         p = _Pending(image_np, exif_scalars, G.instruction_index(instruction))
         self.queue.put(p)
-        if not p.event.wait(timeout):
+        if not p.event.wait(timeout or self.request_timeout):
+            p.abandoned = True  # dispatcher drops it instead of computing
             raise TimeoutError("inference timed out")
         if isinstance(p.result, Exception):
             raise p.result
@@ -84,16 +102,20 @@ class BatchingServer:
                 first = self.queue.get(timeout=0.1)
             except queue.Empty:
                 continue
-            batch = [first]
+            batch = [] if first.abandoned else [first]
             deadline = time.perf_counter() + self.max_delay
             while len(batch) < self.max_batch:
                 left = deadline - time.perf_counter()
                 if left <= 0:
                     break
                 try:
-                    batch.append(self.queue.get(timeout=left))
+                    p = self.queue.get(timeout=left)
                 except queue.Empty:
                     break
+                if not p.abandoned:  # no device time for dead waiters
+                    batch.append(p)
+            if not batch:
+                continue
             n = len(batch)
             try:
                 # pad to the fixed compile shape: one graph for every load
@@ -150,8 +172,7 @@ def _decode_request_image(payload, engine):
     if "image_b64" in payload:
         raw = base64.b64decode(payload["image_b64"])
         with Image.open(_io.BytesIO(raw)) as im:
-            exif_raw = exif_io.extract_exif_from_pil(im) \
-                if hasattr(exif_io, "extract_exif_from_pil") else None
+            exif_raw = exif_io.extract_exif_from_pil(im)
             u8 = np.asarray(im.convert("RGB"), np.uint8)
     elif "path" in payload:
         from cognitive_aim_tpu.io.preprocess import load_image_uint8
@@ -226,10 +247,13 @@ def make_handler(server: BatchingServer):
 
 
 def serve(engine, port: int = 8321, max_batch: int = 16,
-          max_delay_ms: float = 5.0):
-    """Blockingly serve `engine`; returns (httpd, batcher) if you want to
-    drive it from a thread instead (tests do)."""
-    batcher = BatchingServer(engine, max_batch, max_delay_ms)
+          max_delay_ms: float = 5.0, request_timeout: float = 120.0,
+          warmup: bool = True):
+    """Build the server (warming the padded-batch graph first so no request
+    pays the compile); returns (httpd, batcher) — call httpd.serve_forever()
+    or drive it from a thread (tests do)."""
+    batcher = BatchingServer(engine, max_batch, max_delay_ms,
+                             request_timeout, warmup)
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher))
     return httpd, batcher
 

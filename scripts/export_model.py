@@ -78,9 +78,13 @@ def main():
     print(f"serialized in {time.perf_counter() - t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    flat, treedef = jax.tree_util.tree_flatten(eng.params)
-    np.savez(args.out + ".params.npz",
-             **{str(i): np.asarray(a) for i, a in enumerate(flat)})
+    from cognitive_aim_tpu.api import flatten_tree, unflatten_npz
+
+    # name-keyed flat npz (same format as save_native_checkpoint):
+    # api.unflatten_npz rebuilds the exact params pytree rt.call expects,
+    # so the artifact pair is self-contained — no Python model definition
+    # needed on the consumer side
+    np.savez(args.out + ".params.npz", **flatten_tree(eng.params))
     print(f"params fetched+saved in {time.perf_counter() - t0:.1f}s",
           flush=True)
     print(f"wrote {args.out} ({len(blob) / 1e6:.1f} MB) + params.npz "
@@ -89,10 +93,12 @@ def main():
     if args.skip_roundtrip:
         return
     rt = jexport.deserialize(blob)
+    # consumer-side reconstruction: npz -> pytree (no model definition)
+    params_rt = unflatten_npz(np.load(args.out + ".params.npz"))
     rng = np.random.RandomState(0)
     real = jnp.asarray(rng.randn(B, S, S, 3).astype(np.float32) * 0.5)
     d0, c0 = jax.jit(serve)(eng.params, real, exif, gidx)
-    d1, c1 = rt.call(eng.params, real, exif, gidx)
+    d1, c1 = rt.call(params_rt, real, exif, gidx)
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=2e-5,
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), rtol=2e-5,

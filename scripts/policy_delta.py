@@ -108,10 +108,10 @@ def main():
         noise_mode="zeros", save_images=False, seed=args.seed, vit_cfg=vit,
     )
     if args.token_filter:
-        layer, keep = args.token_filter.split(":")
+        from cognitive_aim_tpu.models.config import parse_token_filter
+
         tf_cfg = dict(cfg)
-        tf_cfg["model"] = {"token_filter_layer": int(layer),
-                          "token_filter_keep": float(keep)}
+        tf_cfg["model"] = parse_token_filter(args.token_filter)
         tf_path = "/tmp/policy_delta_tf_cfg.yaml"
         with open(tf_path, "w") as f:
             yaml.safe_dump(tf_cfg, f)

@@ -39,6 +39,16 @@ def test_export_roundtrip_tiny():
     assert len(blob) > 1000
     rt = jexport.deserialize(blob)
     d0, c0 = jax.jit(serve)(params, images, exif, gidx)
-    d1, c1 = rt.call(params, images, exif, gidx)
+    # consumer contract: params rebuilt from the name-keyed npz alone (the
+    # scripts/export_model.py artifact pair needs no model definition)
+    import io as _io
+
+    from cognitive_aim_tpu.api import flatten_tree, unflatten_npz
+
+    buf = _io.BytesIO()
+    np.savez(buf, **flatten_tree(params))
+    buf.seek(0)
+    params_rt = unflatten_npz(np.load(buf))
+    d1, c1 = rt.call(params_rt, images, exif, gidx)
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), rtol=2e-5)

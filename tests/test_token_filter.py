@@ -50,7 +50,6 @@ def test_filtered_shape_and_frozen_tokens(setup):
 def test_guided_region_always_kept(setup):
     params, images = setup
     x = dinov2._embed(params, images, CFG, jnp.float32)
-    layers = jax.tree.map(lambda a: a[:1], params["layers"])  # not used
     first = jax.tree.map(lambda a: a[0], params["layers"])
     imp = dinov2._cls_importance(first, x, CFG)
     assert imp.shape == (2, 16)
