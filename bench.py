@@ -42,7 +42,7 @@ def model_flops_per_image(image_size: int, num_iterations: int = 3) -> float:
 
 def bench(batch_size: int, image_size: int, policy: str, attn: str,
           k_short: int, k_long: int, guided: bool = True,
-          token_filter: str = ""):
+          token_filter: str = "", backbone: str = "base"):
     import jax
     import jax.numpy as jnp
 
@@ -53,6 +53,7 @@ def bench(batch_size: int, image_size: int, policy: str, attn: str,
     from cognitive_aim_tpu.models.config import parse_token_filter
 
     arch = ModelArchConfig(num_iterations=3, image_size=image_size,
+                           backbone_size=backbone,
                            **parse_token_filter(token_filter))
     model = CognitiveAimModel(arch, policy=policy_from_name(policy), attn_impl=attn)
     params = model.prepare_params(model.init(jax.random.PRNGKey(0)))
@@ -113,6 +114,8 @@ def main():
     ap.add_argument("--token-filter", type=str, default="",
                     help="LAYER:KEEP opt-in approximate fast path, e.g. "
                          "'4:0.35' (NOT used for the headline number)")
+    ap.add_argument("--backbone", type=str, default="base",
+                    choices=["base", "large"])
     args = ap.parse_args()
 
     batches = [args.batch] if args.batch else [8, 16, 24]
@@ -128,7 +131,8 @@ def main():
             try:
                 best = max(best, bench(b, args.size, policy, attn,
                                        args.k_short, args.k_long,
-                                       token_filter=args.token_filter))
+                                       token_filter=args.token_filter,
+                                       backbone=args.backbone))
             except Exception as e:
                 log(f"B={b} {policy}/{attn} failed: {type(e).__name__}: {e}")
         if best > 0:

@@ -373,9 +373,15 @@ def _flash_packed_fwd_only(q, k, v, scale: float, num_heads: int,
     # Mosaic's scoped-VMEM accounting tightens with batch and with what XLA
     # fuses around the call: block 704 at N=1370 sits ~16.1 MB against the
     # 16 MB scoped limit and started OOMing at B=8 once the fused-MLP kernel
-    # landed; 480 (3 blocks, +2.3% row padding vs 704) leaves ~3 MB headroom
+    # landed; 480 (3 blocks, +2.3% row padding vs 704) leaves ~3 MB headroom.
+    # At HD >= 1024 (ViT-L) the resident K/V double, so the cap drops to 256
+    # (the measured safe point for the composed 24-layer graph).
+    if HD >= 1024:
+        cap = 256
+    else:
+        cap = 480 if B <= 8 else 352
     q_block = (q_block or int(os.environ.get("CAIM_FLASH_QB", "0"))
-               or _pick_q_block(N, max_block=480 if B <= 8 else 352))
+               or _pick_q_block(N, max_block=cap))
     grid = (B, pl.cdiv(N, q_block))
     kernel = _flash_packed_int8_kernel if int8_dots else _flash_packed_kernel
     return pl.pallas_call(

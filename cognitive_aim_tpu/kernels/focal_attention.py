@@ -123,8 +123,10 @@ def _focal_fused_fwd(q, k, v, scale: float, q_block: int = 0):
     B, N, D = q.shape
     # max_block 352 (not 704): the f32 score block is the VMEM hog here
     # (704x1408 f32 = 4 MB) and 704 tips the kernel over the 16 MB scoped
-    # limit at batch 16; 352 costs ~0.03 ms/iter and removes the cliff
-    q_block = q_block or _pick_q_block(N, max_block=352)
+    # limit at batch 16; 352 costs ~0.03 ms/iter and removes the cliff.
+    # At D >= 1024 (ViT-L streams) the resident K/V alone are 5.6 MB, so
+    # the cap drops to 224 to keep composed-graph headroom.
+    q_block = q_block or _pick_q_block(N, max_block=352 if D <= 768 else 224)
     grid = (B, pl.cdiv(N, q_block))
     row_spec = pl.BlockSpec((1, q_block, 1), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)

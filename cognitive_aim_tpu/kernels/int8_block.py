@@ -164,7 +164,8 @@ def int8_qkv_proj_ln(x, g, be, wq, ws, b, eps: float = 1e-6,
     exists in HBM (saves one write + one read of [B, N, D] per layer)."""
     B, N, D = x.shape
     assert wq.shape[1] == 3 * D
-    nb = n_block or int(os.environ.get("CAIM_QKV_NB", "0")) or _pick_q_block(N)
+    nb = (n_block or int(os.environ.get("CAIM_QKV_NB", "0"))
+          or _pick_q_block(N, 704 if D <= 768 else 256))
     out = jax.ShapeDtypeStruct((B, N, D), out_dtype)
     return pl.pallas_call(
         functools.partial(_qkv_ln_split_kernel, eps),
@@ -287,6 +288,25 @@ def int8_out_residual_prequant(h8, sh, wq, ws, b, ls, res, n_block: int = 0):
 
 
 # ------------------------------------------------------------ fused MLP -----
+def _mlp_nb_cap(K: int, F: int, Nout: int) -> int:
+    """Largest row-block cap that keeps the fused-MLP kernel's VMEM
+    residents under a ~12 MB budget (16 MB Mosaic scoped limit minus
+    headroom — the accounting shifts with surrounding fusions, see
+    flash_attention.py). Residents: both int8 weights (K*F + F*Nout), the
+    f32 [nb, F] hidden, and double-buffered bf16 x/out tiles. ViT-B
+    (768/3072) resolves to the tuned 352; ViT-L (1024/4096) would OOM at
+    352 (8.4 MB of weights alone) and resolves to ~160."""
+    budget = 12 * 1024 * 1024
+    weights = K * F + F * Nout
+    per_row = 4 * F + 4 * (K + Nout)  # f32 hidden + 2x bf16 x/out tiles
+    cap = (budget - weights) // per_row
+    if K >= 1024:
+        # the budget formula alone admits 160 at ViT-L, but the COMPOSED
+        # 24-layer graph crashed the compiler there; 128 is the measured
+        # safe point (144.8 img/s @518^2 B8 vs the 120 bf16 fallback)
+        cap = min(cap, 128)
+    return max(32, min(352, (cap // 32) * 32))
+
 def _mlp_ln_kernel(eps, x_ref, g_ref, be_ref, w1_ref, s1_ref, b1_ref,
                    w2_ref, s2_ref, b2_ref, ls_ref, o_ref):
     xf = x_ref[0].astype(jnp.float32)
@@ -321,7 +341,8 @@ def int8_mlp_ln(x, g, be, w1q, w1s, b1, w2q, w2s, b2, ls,
     B, N, K = x.shape
     F = w1q.shape[1]
     Nout = w2q.shape[1]
-    nb = n_block or int(os.environ.get("CAIM_MLP_NB", "0")) or _pick_q_block(N, 352)
+    nb = (n_block or int(os.environ.get("CAIM_MLP_NB", "0"))
+          or _pick_q_block(N, _mlp_nb_cap(K, F, Nout)))
     return pl.pallas_call(
         functools.partial(_mlp_ln_kernel, eps),
         grid=(B, pl.cdiv(N, nb)),
