@@ -444,3 +444,49 @@ def test_tp_mesh_composes_with_pallas_packed(monkeypatch):
     )(sp, sx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4,
                                rtol=5e-4)
+
+
+def test_mlp_nb_cap_shape_aware():
+    """VMEM-budget-aware MLP block cap: ViT-B keeps the tuned 352; ViT-L
+    (8.4 MB of resident int8 weights) drops to the measured-safe 128; a
+    hypothetical huge F still returns a positive multiple of 32."""
+    from cognitive_aim_tpu.kernels.int8_block import _mlp_nb_cap
+
+    assert _mlp_nb_cap(768, 3072, 768) == 352
+    assert _mlp_nb_cap(1024, 4096, 1024) == 128
+    cap = _mlp_nb_cap(2048, 8192, 2048)
+    assert cap >= 32 and cap % 32 == 0
+
+
+def test_int8_mlp_ln_large_shapes_interpret(monkeypatch):
+    """The fused MLP kernel stays correct at ViT-L-like channel widths
+    (D=1024, F=4096 — where the block cap drops) on a short token dim."""
+    _interp(monkeypatch)
+    from cognitive_aim_tpu.kernels import int8_block as IB
+    from cognitive_aim_tpu.kernels import int8_ops as I8
+
+    B, N, D, F = 1, 40, 1024, 4096
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    x = jax.random.normal(ks[0], (B, N, D), jnp.float32) * 0.5
+    g = jnp.ones((D,), jnp.float32)
+    be = jnp.zeros((D,), jnp.float32)
+    w1 = I8.quantize_weight(jax.random.normal(ks[1], (D, F)) * 0.03)
+    w2 = I8.quantize_weight(jax.random.normal(ks[2], (F, D)) * 0.03)
+    b1 = jnp.zeros((F,), jnp.float32)
+    b2 = jnp.zeros((D,), jnp.float32)
+    ls = jnp.full((D,), 0.9, jnp.float32)
+    out = IB.int8_mlp_ln(x, g, be, w1["q"], w1["s"], b1,
+                         w2["q"], w2["s"], b2, ls)
+    assert out.shape == (B, N, D)
+    # reference: f32 LN + dequantized GEMMs with the same quantization steps
+    xn = (x - x.mean(-1, keepdims=True)) / jnp.sqrt(
+        x.var(-1, keepdims=True) + 1e-6)
+    xq, sx = I8.quantize_activations(xn)
+    h = jax.nn.gelu(
+        (xq.astype(jnp.float32) @ w1["q"].astype(jnp.float32)) * sx * w1["s"]
+        + b1, approximate=True)
+    hq, sh = I8.quantize_activations(h)
+    y = (hq.astype(jnp.float32) @ w2["q"].astype(jnp.float32)) * sh * w2["s"] + b2
+    ref = x + ls * y
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
