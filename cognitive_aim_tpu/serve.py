@@ -65,16 +65,26 @@ class BatchingServer:
         if warmup:
             # compile the ONE padded-batch graph before accepting traffic —
             # otherwise the first requests eat the (possibly minutes-long)
-            # TPU compile against their own timeout
+            # TPU compile against their own timeout. The avals must match
+            # the dispatcher's EXACTLY (np arrays, strong dtypes): jnp.full
+            # with a Python float makes weak-typed f32 scalars whose
+            # signature differs and forces a silent 2nd compile on the
+            # first real batch (measured 70s through the relay).
             size = engine.image_size
             engine._guided(
                 engine.params,
-                jnp.zeros((max_batch, size, size, 3), jnp.float32),
-                {"camera_idx": jnp.zeros((max_batch,), jnp.int32),
-                 "focal_length": jnp.full((max_batch,), 50.0),
-                 "aperture": jnp.full((max_batch,), 2.8),
-                 "iso": jnp.full((max_batch,), 100.0)},
-                jnp.zeros((max_batch,), jnp.int32), engine._next_key(),
+                jnp.asarray(
+                    np.zeros((max_batch, size, size, 3), np.float32)),
+                {"camera_idx": jnp.asarray(
+                     np.zeros((max_batch,), np.int32)),
+                 "focal_length": jnp.asarray(
+                     np.full((max_batch,), 50.0, np.float32)),
+                 "aperture": jnp.asarray(
+                     np.full((max_batch,), 2.8, np.float32)),
+                 "iso": jnp.asarray(
+                     np.full((max_batch,), 100.0, np.float32))},
+                jnp.asarray(np.zeros((max_batch,), np.int32)),
+                engine._next_key(),
             ).depth.block_until_ready()
         self.dispatcher = threading.Thread(target=self._run, daemon=True)
         self.dispatcher.start()
