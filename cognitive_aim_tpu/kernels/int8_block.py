@@ -359,6 +359,69 @@ def int8_mlp_ln(x, g, be, w1q, w1s, b1, w2q, w2s, b2, ls,
       w2q, w2s.reshape(1, Nout), b2.reshape(1, Nout), ls.reshape(1, Nout))
 
 
+# ------------------------------------------- attn_out + residual + MLP -----
+def _attnout_mlp_kernel(eps, ctx_ref, wo_ref, so_ref, bo_ref, ls1_ref,
+                        res_ref, g_ref, be_ref, w1_ref, s1_ref, b1_ref,
+                        w2_ref, s2_ref, b2_ref, ls2_ref, o_ref):
+    cq, sc = _quant_rows_f32(ctx_ref[0].astype(jnp.float32))
+    acc0 = jax.lax.dot_general(
+        cq, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    yo = acc0.astype(jnp.float32) * sc * so_ref[...] + bo_ref[...]
+    xf = res_ref[0].astype(jnp.float32) + ls1_ref[...] * yo
+    xn = _ln_f32(xf, g_ref[...], be_ref[...], eps)
+    xq, sx = _quant_rows_f32(xn)
+    acc1 = jax.lax.dot_general(
+        xq, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = _gelu_tanh(acc1.astype(jnp.float32) * sx * s1_ref[...] + b1_ref[...])
+    hq, sh = _quant_rows_f32(h)
+    acc2 = jax.lax.dot_general(
+        hq, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc2.astype(jnp.float32) * sh * s2_ref[...] + b2_ref[...]
+    o_ref[0] = (xf + ls2_ref[...] * y).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "n_block"))
+def int8_attnout_mlp_ln(ctx, wo, so, bo, ls1, res, g, be,
+                        w1q, w1s, b1, w2q, w2s, b2, ls2,
+                        eps: float = 1e-6, n_block: int = 0):
+    """The ENTIRE post-attention half of a transformer block in one kernel:
+
+        x  = res + ls1 * attn_out(quant(ctx))
+        out = x + ls2 * fc2(quant(gelu(fc1(quant(LN2(x))))))
+
+    vs the out_residual -> mlp_ln pair this deletes the post-attention
+    residual's HBM round-trip ([B, N, K] bf16 write+read per layer —
+    ~1 ms/step @518^2 B16). VMEM residents: attn_out + fc1 + fc2 int8
+    weights (5.2 MB at ViT-B) + the f32 hidden; n_block defaults a step
+    below the MLP-only cap to cover the extra weight."""
+    B, N, K = ctx.shape
+    F = w1q.shape[1]
+    nb = (n_block or int(os.environ.get("CAIM_AOMLP_NB", "0"))
+          or _pick_q_block(N, max(32, _mlp_nb_cap(K, F, K) - 96)))
+    return pl.pallas_call(
+        functools.partial(_attnout_mlp_kernel, eps),
+        grid=(B, pl.cdiv(N, nb)),
+        in_specs=[
+            _xspec(nb, K), _wspec(K, K), _rowspec(K), _rowspec(K),
+            _rowspec(K), _xspec(nb, K), _rowspec(K), _rowspec(K),
+            _wspec(K, F), _rowspec(F), _rowspec(F),
+            _wspec(F, K), _rowspec(K), _rowspec(K), _rowspec(K),
+        ],
+        out_specs=_xspec(nb, K),
+        out_shape=jax.ShapeDtypeStruct((B, N, K), res.dtype),
+    )(ctx, wo, so.reshape(1, K), bo.reshape(1, K), ls1.reshape(1, K), res,
+      g.astype(jnp.float32).reshape(1, K),
+      be.astype(jnp.float32).reshape(1, K),
+      w1q, w1s.reshape(1, F), b1.reshape(1, F),
+      w2q, w2s.reshape(1, K), b2.reshape(1, K), ls2.reshape(1, K))
+
+
 def _out_res_kernel(x_ref, wq_ref, ws_ref, b_ref, ls_ref, res_ref, o_ref):
     xq, sx = _quant_rows_f32(x_ref[0].astype(jnp.float32))
     acc = jax.lax.dot_general(

@@ -308,6 +308,19 @@ def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
         # inside each program, while the separate out_residual launch
         # pipelines; kept in-tree as a tested negative result.
         ctx = flash_attention_packed(qp, kp, vp, hd**-0.5, H)
+    import os as _os
+
+    if _os.environ.get("CAIM_FUSE_AOMLP", "0") == "1":
+        # experimental: steps 3+4 in ONE kernel (the post-attention
+        # residual never reaches HBM) — A/B via env until measured
+        return IB.int8_attnout_mlp_ln(
+            ctx, p["attn_out"]["wq"]["q"], p["attn_out"]["wq"]["s"],
+            p["attn_out"]["b"], p["ls1"], x,
+            p["norm2"]["scale"], p["norm2"]["bias"],
+            p["fc1"]["wq"]["q"], p["fc1"]["wq"]["s"], p["fc1"]["b"],
+            p["fc2"]["wq"]["q"], p["fc2"]["wq"]["s"], p["fc2"]["b"],
+            p["ls2"], eps=eps,
+        )
     x = IB.int8_out_residual(
         ctx, p["attn_out"]["wq"]["q"], p["attn_out"]["wq"]["s"],
         p["attn_out"]["b"], p["ls1"], x,

@@ -490,3 +490,36 @@ def test_int8_mlp_ln_large_shapes_interpret(monkeypatch):
     ref = x + ls * y
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_int8_attnout_mlp_fused_matches_split(monkeypatch):
+    """One-kernel attn_out+residual+LN2+MLP == out_residual -> mlp_ln."""
+    _interp(monkeypatch)
+    from cognitive_aim_tpu.kernels import int8_block as IB
+    from cognitive_aim_tpu.kernels import int8_ops as I8
+
+    B, N, D, F = 2, 70, 128, 256
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    ctx = jax.random.normal(ks[0], (B, N, D), jnp.float32) * 0.5
+    res = jax.random.normal(ks[1], (B, N, D), jnp.float32) * 0.5
+    g = 1.0 + 0.1 * jax.random.normal(ks[2], (D,), jnp.float32)
+    be = 0.05 * jax.random.normal(ks[3], (D,), jnp.float32)
+    wo = I8.quantize_weight(jax.random.normal(ks[4], (D, D)) * 0.05)
+    w1 = I8.quantize_weight(jax.random.normal(ks[5], (D, F)) * 0.05)
+    w2 = I8.quantize_weight(jax.random.normal(ks[0], (F, D)) * 0.05)
+    bo = jnp.zeros((D,), jnp.float32)
+    b1 = jnp.zeros((F,), jnp.float32)
+    b2 = jnp.zeros((D,), jnp.float32)
+    ls1 = jnp.full((D,), 0.8, jnp.float32)
+    ls2 = jnp.full((D,), 0.9, jnp.float32)
+
+    x_split = IB.int8_out_residual(ctx, wo["q"], wo["s"], bo, ls1, res)
+    ref = IB.int8_mlp_ln(x_split, g, be, w1["q"], w1["s"], b1,
+                         w2["q"], w2["s"], b2, ls2)
+    out = IB.int8_attnout_mlp_ln(ctx, wo["q"], wo["s"], bo, ls1, res, g, be,
+                                 w1["q"], w1["s"], b1, w2["q"], w2["s"], b2,
+                                 ls2)
+    # the fused path carries x in f32 between the two halves; the split
+    # path round-trips through bf16 — tolerance covers that cast
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
