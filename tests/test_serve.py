@@ -33,7 +33,7 @@ def server(tmp_path_factory):
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{port}", tmp
+    yield f"http://127.0.0.1:{port}", tmp, engine
     httpd.shutdown()
     batcher.stop()
 
@@ -58,7 +58,7 @@ def _jpeg_bytes(tmp, seed=0):
 
 
 def test_healthz(server):
-    base, _ = server
+    base, _, _ = server
     with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
         h = json.loads(r.read())
     assert h["status"] == "ok"
@@ -67,7 +67,7 @@ def test_healthz(server):
 
 
 def test_predict_b64_and_concurrent_batching(server):
-    base, tmp = server
+    base, tmp, _ = server
     raw, _ = _jpeg_bytes(tmp, 1)
     b64 = base64.b64encode(raw).decode()
     out = _post(base + "/predict", {"image_b64": b64,
@@ -92,8 +92,21 @@ def test_predict_b64_and_concurrent_batching(server):
     assert all(r["depth"] > 0 for r in results.values())
 
 
+def test_dispatcher_hits_warmup_cache(server):
+    """The startup warmup must compile the EXACT signature the dispatcher
+    uses — a silent recompile on the first real batch cost ~70 s through
+    the TPU relay until the warmup avals were pinned (np arrays, strong
+    dtypes). Guard: after real requests, the jitted guided forward still
+    has exactly one cache entry."""
+    base, tmp, engine = server
+    raw, _ = _jpeg_bytes(tmp, 9)
+    b64 = base64.b64encode(raw).decode()
+    _post(base + "/predict", {"image_b64": b64, "instruction": "bottom"})
+    assert engine._guided._cache_size() == 1, "guided forward recompiled"
+
+
 def test_predict_batch_paths(server):
-    base, tmp = server
+    base, tmp, _ = server
     _, p1 = _jpeg_bytes(tmp, 2)
     _, p2 = _jpeg_bytes(tmp, 3)
     out = _post(base + "/predict_batch",
@@ -105,7 +118,7 @@ def test_predict_batch_paths(server):
 
 
 def test_bad_request(server):
-    base, _ = server
+    base, _, _ = server
     req = urllib.request.Request(
         base + "/predict", json.dumps({}).encode(),
         headers={"Content-Type": "application/json"},
