@@ -374,9 +374,17 @@ class CognitiveAimInference:
         def _dispatch(chunk, start):
             """Host decode + async device dispatch for one chunk. Returns the
             un-fetched device outputs; JAX dispatch is asynchronous, so the
-            device computes this chunk while the caller decodes the next."""
+            device computes this chunk while the caller decodes the next.
+
+            The tail chunk is padded to batch_size with repeat-last (as
+            evaluate.py does) so EVERY chunk hits the same compiled graph —
+            a bare odd-sized tail silently JIT-compiled a brand-new graph
+            (minutes through the TPU relay) in production serving."""
             imgs, ok = decode_resize_batch_u8(chunk, self.image_size, self.image_size)
             n = len(chunk)
+            pad = batch_size - n if n < batch_size else 0
+            if pad:
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
             if use_exif:
                 per_image = [
                     exif_io.exif_arrays_for_model(
@@ -395,6 +403,9 @@ class CognitiveAimInference:
                     "aperture": np.full(n, 2.8, np.float32),
                     "iso": np.full(n, 100.0, np.float32),
                 }
+            if pad:
+                exif = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                        for k, v in exif.items()}
             xb = jnp.asarray(imgs)
             eb = {k: jnp.asarray(v) for k, v in exif.items()}
             if mesh is not None:
@@ -402,14 +413,17 @@ class CognitiveAimInference:
                 xb = sharded["images"]
                 eb = {k: sharded[k] for k in eb}
             if gi_all is not None:
+                gvec = gi_all[start : start + n]
+                if pad:
+                    gvec = np.concatenate([gvec, np.repeat(gvec[-1:], pad)])
                 out = self._guided_u8(
-                    self.params, xb, eb,
-                    jnp.asarray(gi_all[start : start + n]), self._next_key(),
+                    self.params, xb, eb, jnp.asarray(gvec), self._next_key(),
                 )
             elif gi is not None:
                 out = self._guided_u8(
                     self.params, xb, eb,
-                    jnp.full((n,), gi, jnp.int32), self._next_key(),
+                    jnp.asarray(np.full(n + pad, gi, np.int32)),
+                    self._next_key(),
                 )
             else:
                 out = self._unguided_u8(self.params, xb, eb, self._next_key())

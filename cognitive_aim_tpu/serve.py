@@ -170,9 +170,26 @@ class BatchingServer:
         self.dispatcher.join(timeout=2.0)
 
 
-def _decode_request_image(payload, engine):
-    """'image_b64' (PNG/JPEG bytes) or server-local 'path' -> normalized
-    [H, W, 3] float32 + host EXIF scalars (same ranges as api.predict)."""
+def _check_path_allowed(path: str, data_root):
+    """Server-local file access is an oracle/DoS surface for any network
+    client; restrict it to an explicit --data-root (None = disabled)."""
+    import os
+
+    if data_root is None:
+        raise ValueError(
+            "path-based requests are disabled (start the server with "
+            "--data-root to allow them); send image_b64 instead")
+    real = os.path.realpath(path)
+    root = os.path.realpath(str(data_root))
+    if os.path.commonpath([real, root]) != root:
+        raise ValueError("path outside the allowed data root")
+    return real
+
+
+def _decode_request_image(payload, engine, data_root=None):
+    """'image_b64' (PNG/JPEG bytes) or server-local 'path' (gated by
+    data_root) -> normalized [H, W, 3] float32 + host EXIF scalars (same
+    ranges as api.predict)."""
     from PIL import Image
 
     from cognitive_aim_tpu.io import exif as exif_io
@@ -187,8 +204,9 @@ def _decode_request_image(payload, engine):
     elif "path" in payload:
         from cognitive_aim_tpu.io.preprocess import load_image_uint8
 
-        u8 = load_image_uint8(payload["path"])
-        exif_raw = exif_io.extract_exif(payload["path"])
+        path = _check_path_allowed(payload["path"], data_root)
+        u8 = load_image_uint8(path)
+        exif_raw = exif_io.extract_exif(path)
     else:
         raise ValueError("request needs 'image_b64' or 'path'")
     img = normalize_np(pil_resize_host(u8, size, size)).astype(np.float32)
@@ -197,7 +215,7 @@ def _decode_request_image(payload, engine):
     return img, exif
 
 
-def make_handler(server: BatchingServer):
+def make_handler(server: BatchingServer, data_root=None):
     engine = server.engine
 
     class Handler(BaseHTTPRequestHandler):
@@ -231,13 +249,15 @@ def make_handler(server: BatchingServer):
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 if self.path == "/predict":
-                    img, exif = _decode_request_image(payload, engine)
+                    img, exif = _decode_request_image(
+                        payload, engine, data_root)
                     d, c = server.submit(
                         img, exif, payload.get("instruction", "center")
                     )
                     self._json(200, {"depth": d, "confidence": c})
                 elif self.path == "/predict_batch":
-                    paths = payload["paths"]
+                    paths = [_check_path_allowed(p, data_root)
+                             for p in payload["paths"]]
                     res = engine.predict_paths_batched(
                         paths,
                         instruction=payload.get("instruction"),
@@ -250,21 +270,29 @@ def make_handler(server: BatchingServer):
                     ]})
                 else:
                     self._json(404, {"error": "unknown path"})
-            except Exception as e:
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                # malformed request — client's fault
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except TimeoutError:
+                self._json(504, {"error": "inference timed out"})
+            except Exception:
+                # server-side failure: don't leak internals to clients
+                self._json(500, {"error": "internal error"})
 
     return Handler
 
 
 def serve(engine, port: int = 8321, max_batch: int = 16,
           max_delay_ms: float = 5.0, request_timeout: float = 120.0,
-          warmup: bool = True):
+          warmup: bool = True, host: str = "127.0.0.1", data_root=None):
     """Build the server (warming the padded-batch graph first so no request
     pays the compile); returns (httpd, batcher) — call httpd.serve_forever()
-    or drive it from a thread (tests do)."""
+    or drive it from a thread (tests do). Binds loopback unless `host` says
+    otherwise; server-local file requests need an explicit `data_root`."""
     batcher = BatchingServer(engine, max_batch, max_delay_ms,
                              request_timeout, warmup)
-    httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher))
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(batcher, data_root))
     return httpd, batcher
 
 
@@ -278,6 +306,11 @@ def main():
     ap.add_argument("--token-filter", type=str, default="")
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--max-delay-ms", type=float, default=5.0)
+    ap.add_argument("--host", type=str, default="127.0.0.1",
+                    help="bind address (default loopback; 0.0.0.0 to expose)")
+    ap.add_argument("--data-root", type=str, default=None,
+                    help="allow 'path'/'paths' requests under this directory "
+                         "only (default: path requests disabled)")
     args = ap.parse_args()
 
     from cognitive_aim_tpu.api import CognitiveAimInference
@@ -287,8 +320,9 @@ def main():
         attn_impl=args.attn, noise_mode="zeros", save_images=False,
         token_filter=args.token_filter,
     )
-    httpd, _ = serve(engine, args.port, args.max_batch, args.max_delay_ms)
-    print(f"serving on :{args.port} (max_batch={args.max_batch}, "
+    httpd, _ = serve(engine, args.port, args.max_batch, args.max_delay_ms,
+                     host=args.host, data_root=args.data_root)
+    print(f"serving on {args.host}:{args.port} (max_batch={args.max_batch}, "
           f"policy={args.policy}, token_filter={args.token_filter or 'off'})",
           flush=True)
     httpd.serve_forever()

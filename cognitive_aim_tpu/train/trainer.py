@@ -416,10 +416,14 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        target = shard_params(self.mesh, self.params, self.cfg.tensor_parallel)
+        # abstract target from the sharding RULES + live leaf shapes — no
+        # device_put of a full sharded params copy just to read .sharding
+        # (a transient duplicate allocation that can OOM large models)
+        shardings = param_shardings(self.mesh, self.params,
+                                    self.cfg.tensor_parallel)
         abstract = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
-            target,
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+            self.params, shardings,
         )
         self.params = ckptr.restore(os.path.abspath(path), abstract)
         self.opt_state = self.tx.init(self.params)

@@ -84,7 +84,8 @@ def main():
     # api.unflatten_npz rebuilds the exact params pytree rt.call expects,
     # so the artifact pair is self-contained — no Python model definition
     # needed on the consumer side
-    np.savez(args.out + ".params.npz", **flatten_tree(eng.params))
+    flat = flatten_tree(eng.params)
+    np.savez(args.out + ".params.npz", **flat)
     print(f"params fetched+saved in {time.perf_counter() - t0:.1f}s",
           flush=True)
     print(f"wrote {args.out} ({len(blob) / 1e6:.1f} MB) + params.npz "

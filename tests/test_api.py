@@ -112,6 +112,29 @@ def test_predict_paths_batched(engine, image):
     assert np.isnan(res[2][0])
 
 
+def test_predict_paths_batched_tail_pad_one_graph(engine, image):
+    """An odd-sized tail chunk is padded to batch_size (repeat-last) so the
+    whole run compiles exactly ONE graph — a bare tail used to JIT a second
+    graph silently (minutes through the TPU relay in production)."""
+    eng, _ = engine
+    # fresh jitted entry points so the cache count starts at zero
+    for attr in ("_guided_u8", "_unguided_u8"):
+        if hasattr(eng, attr):
+            delattr(eng, attr)
+    res = eng.predict_paths_batched([image] * 5, "center", batch_size=2)
+    assert len(res) == 5 and all(d > 0 for d, _ in res)
+    assert eng._guided_u8._cache_size() == 1, "tail chunk recompiled"
+    # tail answers must equal full-chunk answers (padding is inert)
+    assert res[4] == res[0]
+    # mixed-instruction and unguided paths pad too
+    mixed = eng.predict_paths_batched([image] * 3, batch_size=2,
+                                      instructions=["center"] * 3)
+    assert eng._guided_u8._cache_size() == 1
+    assert mixed[2] == mixed[0]
+    eng.predict_paths_batched([image] * 3, batch_size=2)
+    assert eng._unguided_u8._cache_size() == 1
+
+
 def test_predict_paths_batched_mixed_instructions(engine, image):
     """Per-path instructions batch into one guided dispatch and match the
     same instruction passed as a scalar."""

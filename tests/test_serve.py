@@ -29,7 +29,8 @@ def server(tmp_path_factory):
     engine = CognitiveAimInference(
         cfg_path, None, noise_mode="zeros", save_images=False, vit_cfg=vit,
     )
-    httpd, batcher = serve(engine, port=0, max_batch=4, max_delay_ms=20)
+    httpd, batcher = serve(engine, port=0, max_batch=4, max_delay_ms=20,
+                           data_root=tmp)
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -115,6 +116,21 @@ def test_predict_batch_paths(server):
     assert len(out["results"]) == 2
     for d, c in out["results"]:
         assert d > 0 and 0 <= c <= 1
+
+
+def test_path_outside_data_root_rejected(server):
+    """Server-local file reads are gated to the configured data root —
+    anything else is a 400, not a file-existence oracle."""
+    base, _, _ = server
+    req = urllib.request.Request(
+        base + "/predict", json.dumps({"path": "/etc/passwd"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
 
 
 def test_bad_request(server):
