@@ -210,15 +210,17 @@ class CognitiveAimModel:
         """
         a = self.arch
         filter_kw = {}
-        if (a.token_filter_layer and a.token_filter_keep < 1.0 and not train):
+        if a.token_filter_active and not train:
             # opt-in approximate fast path (token_filter_* config; OFF by
             # default). Guided-region tokens get keep priority so the focal
             # re-pool (ref:1400-1414 blend) sees fresh features where the
-            # instruction points.
+            # instruction points. token_filter_schedule gives the
+            # progressive (multi-stage) variant.
             filter_kw = dict(
                 filter_layer=a.token_filter_layer,
                 filter_keep=a.token_filter_keep,
                 filter_fuse=a.token_filter_fuse,
+                filter_schedule=a.token_filter_schedule,
             )
             if guidance is not None:
                 B = images.shape[0]

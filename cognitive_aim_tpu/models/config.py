@@ -59,6 +59,16 @@ class ModelArchConfig:
     token_filter_layer: int = 0
     token_filter_keep: float = 1.0
     token_filter_fuse: bool = True  # EViT-style fused context token
+    # Progressive variant: ((layer, keep), ...) — several smaller drops
+    # instead of one cliff; overrides the single layer/keep pair. Parsed
+    # from 'L1:K1,L2:K2,...' CLI specs by parse_token_filter.
+    token_filter_schedule: tuple = ()
+
+    @property
+    def token_filter_active(self) -> bool:
+        return bool(self.token_filter_schedule) or (
+            self.token_filter_layer > 0 and self.token_filter_keep < 1.0
+        )
 
     @property
     def feature_dim(self) -> int:
@@ -102,14 +112,22 @@ def resolve_image_size(raw: Mapping, default: int = 224) -> int:
 
 
 def parse_token_filter(spec: str) -> dict:
-    """'LAYER:KEEP' CLI spec -> {token_filter_layer, token_filter_keep}
-    (empty spec -> {}). Single parse point for api.py / bench.py /
-    scripts/policy_delta.py."""
+    """CLI spec -> token-filter config kwargs (empty spec -> {}).
+
+    'LAYER:KEEP'                -> single-stage filter
+    'L1:K1,L2:K2,...'           -> progressive schedule (strictly
+                                   increasing layers, decreasing keeps)
+    Single parse point for api.py / bench.py / scripts/policy_delta.py."""
     if not spec:
         return {}
-    layer, keep = spec.split(":")
-    return {"token_filter_layer": int(layer),
-            "token_filter_keep": float(keep)}
+    stages = []
+    for part in spec.split(","):
+        layer, keep = part.split(":")
+        stages.append((int(layer), float(keep)))
+    if len(stages) == 1:
+        return {"token_filter_layer": stages[0][0],
+                "token_filter_keep": stages[0][1]}
+    return {"token_filter_schedule": tuple(stages)}
 
 
 DEFAULT_COGNITIVE_MODULES = (
@@ -209,5 +227,10 @@ def resolve_model_config(
         token_filter_fuse=bool(
             _get(raw, "token_filter_fuse",
                  model_cfg.get("token_filter_fuse", True), lookup)
+        ),
+        token_filter_schedule=tuple(
+            (int(l), float(k)) for l, k in
+            _get(raw, "token_filter_schedule",
+                 model_cfg.get("token_filter_schedule", ()), lookup)
         ),
     )

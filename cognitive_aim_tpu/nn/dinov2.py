@@ -423,6 +423,44 @@ def _filter_tokens(x, importance, keep_weights, k_keep: int,
     return jnp.concatenate(parts, axis=1), idx
 
 
+def _refilter_tokens(x, imp_all, k_prev: int, keep_w_gathered, k_keep: int,
+                     fuse: bool = False):
+    """Progressive-filtering stage 2+: the stream is already filtered to
+    [B, 1 + k_prev (+1 fused), D]. Keep the k_keep highest-priority of the
+    k_prev patch tokens (same priority formula as _filter_tokens, with the
+    guidance weights pre-gathered at the surviving indices) and re-fuse the
+    newly dropped tokens into the context token: the new fused token is the
+    importance-weighted mean of (dropped patches + old fused token), so
+    aggregate global context accumulates across stages instead of being
+    discarded at each drop. Returns (filtered stream, [B, k_keep] LOCAL
+    indices into the previous kept set, ascending)."""
+    B = x.shape[0]
+    has_fused = x.shape[1] - 1 > k_prev
+    imp_p = imp_all[:, :k_prev]
+    prio = imp_p
+    if keep_w_gathered is not None:
+        prio = prio + 10.0 * (keep_w_gathered.astype(jnp.float32) - 1.0)
+    _, idx = jax.lax.top_k(prio, k_keep)
+    idx = jnp.sort(idx, axis=1)
+    patches = x[:, 1:1 + k_prev]
+    kept = jnp.take_along_axis(patches, idx[..., None], axis=1)
+    parts = [x[:, :1], kept]
+    if fuse:
+        kept_mask = jnp.zeros((B, k_prev), x.dtype).at[
+            jnp.arange(B)[:, None], idx
+        ].set(1.0)
+        w = imp_p.astype(x.dtype) * (1.0 - kept_mask)
+        num = (patches * w[..., None]).sum(axis=1, keepdims=True)
+        den = w.sum(axis=1, keepdims=True)
+        if has_fused:
+            w_f = imp_all[:, k_prev:k_prev + 1].astype(x.dtype)
+            num = num + x[:, 1 + k_prev:2 + k_prev] * w_f[..., None]
+            den = den + w_f
+        fused = num / (den[..., None] + jnp.asarray(1e-9, x.dtype))
+        parts.append(fused)
+    return jnp.concatenate(parts, axis=1), idx
+
+
 def _scatter_tokens(x_full, x_filtered, idx):
     """Write the updated CLS + kept patch tokens back into the full-length
     stream (dropped tokens keep their filter-point values). Any trailing
@@ -472,6 +510,7 @@ def apply(
     filter_layer: int = 0,
     filter_keep: float = 1.0,
     filter_fuse: bool = True,
+    filter_schedule=(),
     keep_weights=None,
 ) -> jnp.ndarray:
     """Forward pass.
@@ -488,6 +527,13 @@ def apply(
         before the final norm, so the output keeps the full [B, 1+N, D]
         shape and token order. Approximate — see docs/PERF.md for measured
         throughput/δ-depth tradeoffs.
+      filter_schedule: PROGRESSIVE variant — ((layer, keep), ...) with
+        strictly increasing layers and decreasing keep fractions; each stage
+        drops further tokens (re-ranked by fresh CLS attention at that
+        depth) and re-fuses the newly dropped ones into the context token.
+        Spreading one cliff-drop over several smaller ones keeps more
+        tokens alive through the early layers where attention is still
+        deciding what matters. Overrides filter_layer/filter_keep.
     Returns:
       last_hidden_state [B, 1 + N, D] after the final layernorm, matching
       Dinov2Model.forward().last_hidden_state (ref:src/model.py:973-975 reads
@@ -543,23 +589,59 @@ def apply(
         return block(layer_params, carry, cfg, attn_impl), None
 
     P = x.shape[1] - 1
-    filtering = (
-        0 < filter_layer < cfg.num_layers
-        and 0.0 < filter_keep < 1.0
+    schedule = tuple(filter_schedule or ())
+    if not schedule and 0 < filter_layer < cfg.num_layers \
+            and 0.0 < filter_keep < 1.0:
+        schedule = ((filter_layer, filter_keep),)
+    # drop degenerate stages (keep >= 1 or layer out of range)
+    schedule = tuple(
+        (int(l), float(k)) for l, k in schedule
+        if 0 < int(l) < cfg.num_layers and 0.0 < float(k) < 1.0
     )
-    if filtering:
-        pre = jax.tree.map(lambda a: a[:filter_layer], layers)
-        post = jax.tree.map(lambda a: a[filter_layer:], layers)
-        x, _ = jax.lax.scan(body, x, pre, unroll=unroll)
-        first_post = jax.tree.map(lambda a: a[0], post)
-        imp = _cls_importance(first_post, x, cfg)
-        k_keep = max(1, int(round(filter_keep * P)))
-        x_full = x
-        # the fused context token only exists when something was dropped
-        x, idx = _filter_tokens(x, imp, keep_weights, k_keep,
-                                fuse=filter_fuse and k_keep < P)
-        x, _ = jax.lax.scan(body, x, post, unroll=unroll)
-        x = _scatter_tokens(x_full.astype(x.dtype), x, idx)
+    if schedule:
+        ls = [l for l, _ in schedule]
+        kf = [k for _, k in schedule]
+        if ls != sorted(set(ls)):
+            raise ValueError(f"filter schedule layers must be strictly "
+                             f"increasing: {schedule}")
+        if any(b >= a for a, b in zip(kf, kf[1:])):
+            raise ValueError(f"filter schedule keep fractions must be "
+                             f"strictly decreasing: {schedule}")
+        ks = [max(1, int(round(k * P))) for k in kf]
+        x_full = None
+        idx_global = None
+        prev = 0
+        for (boundary, _), k_i in zip(schedule, ks):
+            seg = jax.tree.map(lambda a: a[prev:boundary], layers)
+            x, _ = jax.lax.scan(body, x, seg, unroll=unroll)
+            prev = boundary
+            next_lp = jax.tree.map(lambda a: a[boundary], layers)
+            imp = _cls_importance(next_lp, x, cfg)
+            if idx_global is None:
+                x_full = x
+                x, idx_global = _filter_tokens(
+                    x, imp, keep_weights, k_i,
+                    fuse=filter_fuse and k_i < P,
+                )
+            else:
+                k_prev = idx_global.shape[1]
+                if k_i >= k_prev:
+                    continue  # nothing more to drop at this stage
+                # tokens dropped HERE freeze at their current values
+                x_full = _scatter_tokens(x_full.astype(x.dtype), x,
+                                         idx_global)
+                kw = None
+                if keep_weights is not None:
+                    kw = jnp.take_along_axis(
+                        keep_weights, idx_global, axis=1)
+                x, idx_local = _refilter_tokens(
+                    x, imp, k_prev, kw, k_i, fuse=filter_fuse,
+                )
+                idx_global = jnp.take_along_axis(
+                    idx_global, idx_local, axis=1)
+        tail = jax.tree.map(lambda a: a[prev:], layers)
+        x, _ = jax.lax.scan(body, x, tail, unroll=unroll)
+        x = _scatter_tokens(x_full.astype(x.dtype), x, idx_global)
     else:
         x, _ = jax.lax.scan(body, x, layers, unroll=unroll)
     x = L.layernorm_apply(

@@ -237,8 +237,10 @@ def make_handler(server: BatchingServer, data_root=None):
                     "status": "ok",
                     "image_size": engine.image_size,
                     "policy": type(engine.model.policy).__name__,
-                    "token_filter": [a.token_filter_layer,
-                                     a.token_filter_keep],
+                    "token_filter": (
+                        [list(s) for s in a.token_filter_schedule]
+                        if a.token_filter_schedule
+                        else [a.token_filter_layer, a.token_filter_keep]),
                     "max_batch": server.max_batch,
                 })
             else:

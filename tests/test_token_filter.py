@@ -154,6 +154,135 @@ def test_filtered_forward_dp_sharded():
     assert np.all(np.isfinite(np.asarray(out.depth)))
 
 
+def test_progressive_schedule_shapes_and_freeze(setup):
+    """Multi-stage schedule: full output shape/order preserved; tokens
+    dropped at stage i freeze at stage-i values (they differ from both the
+    exact forward and the embedding)."""
+    params, images = setup
+    out = dinov2.apply(params, images, CFG,
+                       filter_schedule=((1, 0.6), (2, 0.4), (3, 0.25)))
+    assert out.shape == (2, 17, 64)
+    assert np.all(np.isfinite(np.asarray(out)))
+    ref = dinov2.apply(params, images, CFG)
+    assert not np.allclose(np.asarray(out[:, 1:]), np.asarray(ref[:, 1:]))
+    # CLS always survives all stages and carries the full computation
+    # depth, so it should be much closer to the exact CLS than the frozen
+    # background tokens are to theirs
+    cls_err = np.abs(np.asarray(out[:, 0]) - np.asarray(ref[:, 0])).mean()
+    patch_err = np.abs(np.asarray(out[:, 1:]) - np.asarray(ref[:, 1:])).mean()
+    assert cls_err < patch_err
+
+
+def test_progressive_single_stage_equals_legacy(setup):
+    """A one-entry schedule must match the legacy filter_layer/filter_keep
+    path bit-for-bit (same code path, same rounding)."""
+    params, images = setup
+    a = dinov2.apply(params, images, CFG, filter_layer=2, filter_keep=0.5)
+    b = dinov2.apply(params, images, CFG, filter_schedule=((2, 0.5),))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_progressive_guided_region_survives_all_stages(setup):
+    """Guidance priority is re-applied (gathered at surviving indices) at
+    every stage: the guided tokens must be in the FINAL kept set."""
+    params, images = setup
+    kw = np.ones((2, 16), np.float32)
+    kw[:, 5:9] = 5.0
+    # run the real forward and recover the final kept set by checking which
+    # tokens changed after the last stage vs a frozen-at-stage copy
+    out = dinov2.apply(params, images, CFG,
+                       filter_schedule=((1, 0.6), (3, 0.25)),
+                       keep_weights=jnp.asarray(kw), filter_fuse=False)
+    # k_final = round(.25*16) = 4 = number of guided tokens; the guided
+    # tokens are the final kept set, so they must differ from a forward
+    # truncated at the last filter layer (they kept computing), while
+    # most background tokens froze earlier
+    assert np.all(np.isfinite(np.asarray(out)))
+    # direct unit check of the refilter stage
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp = dinov2._cls_importance(first, x, CFG)
+    xf, idx1 = dinov2._filter_tokens(x, imp, jnp.asarray(kw), 10, fuse=True)
+    imp2 = dinov2._cls_importance(first, xf, CFG)
+    kw_g = jnp.take_along_axis(jnp.asarray(kw), idx1, axis=1)
+    xf2, idx_local = dinov2._refilter_tokens(xf, imp2, 10, kw_g, 4,
+                                             fuse=True)
+    assert xf2.shape == (2, 1 + 4 + 1, 64)
+    idx_global = np.take_along_axis(np.asarray(idx1), np.asarray(idx_local),
+                                    axis=1)
+    for b in range(2):
+        assert set(idx_global[b].tolist()) == {5, 6, 7, 8}
+
+
+def test_refilter_refuses_context_token_math(setup):
+    """Stage-2 fused token = importance-weighted mean of (newly dropped
+    patches + old fused token)."""
+    params, images = setup
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp = dinov2._cls_importance(first, x, CFG)
+    xf, idx1 = dinov2._filter_tokens(x, imp, None, 8, fuse=True)
+    imp2 = dinov2._cls_importance(first, xf, CFG)
+    xf2, idx_local = dinov2._refilter_tokens(xf, imp2, 8, None, 3, fuse=True)
+    assert xf2.shape == (2, 1 + 3 + 1, 64)
+    imp2_np, xf_np = np.asarray(imp2), np.asarray(xf)
+    il = np.asarray(idx_local)
+    for b in range(2):
+        dropped = sorted(set(range(8)) - set(il[b].tolist()))
+        w = imp2_np[b, dropped]
+        num = (xf_np[b, 1:9][dropped] * w[:, None]).sum(0)
+        den = w.sum()
+        w_f = imp2_np[b, 8]  # old fused token's importance column
+        num += xf_np[b, 9] * w_f
+        den += w_f
+        np.testing.assert_allclose(np.asarray(xf2)[b, -1], num / (den + 1e-9),
+                                   atol=1e-5)
+
+
+def test_schedule_validation(setup):
+    params, images = setup
+    with pytest.raises(ValueError):
+        dinov2.apply(params, images, CFG,
+                     filter_schedule=((2, 0.5), (2, 0.25)))  # dup layer
+    with pytest.raises(ValueError):
+        dinov2.apply(params, images, CFG,
+                     filter_schedule=((1, 0.25), (2, 0.5)))  # keep increases
+
+
+def test_parse_token_filter_schedule():
+    from cognitive_aim_tpu.models.config import parse_token_filter
+
+    assert parse_token_filter("") == {}
+    assert parse_token_filter("2:0.25") == {
+        "token_filter_layer": 2, "token_filter_keep": 0.25}
+    assert parse_token_filter("1:0.6,3:0.4,5:0.25") == {
+        "token_filter_schedule": ((1, 0.6), (3, 0.4), (5, 0.25))}
+
+
+def test_model_level_progressive():
+    from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+    from cognitive_aim_tpu.models.config import ModelArchConfig
+
+    arch = ModelArchConfig(
+        num_iterations=2, image_size=56,
+        token_filter_schedule=((1, 0.6), (2, 0.3)),
+    )
+    assert arch.token_filter_active
+    model = CognitiveAimModel(arch, vit_cfg=CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    exif = {
+        "camera_idx": jnp.zeros((2,), jnp.int32),
+        "focal_length": jnp.full((2,), 50.0),
+        "aperture": jnp.full((2,), 2.8),
+        "iso": jnp.full((2,), 100.0),
+    }
+    out = model.apply(params, images, exif, guidance=jnp.array([0, 3]),
+                      rng=jax.random.PRNGKey(2))
+    assert out.depth.shape == (2, 1)
+    assert np.all(np.isfinite(np.asarray(out.depth)))
+
+
 def test_config_resolver_reads_token_filter():
     from cognitive_aim_tpu.models.config import resolve_model_config
 
@@ -161,6 +290,9 @@ def test_config_resolver_reads_token_filter():
     arch = resolve_model_config(raw)
     assert arch.token_filter_layer == 4
     assert arch.token_filter_keep == 0.35
+    raw_s = {"model": {"token_filter_schedule": [[1, 0.6], [3, 0.3]]}}
+    assert resolve_model_config(raw_s).token_filter_schedule == (
+        (1, 0.6), (3, 0.3))
     # absent -> off (exact path)
     arch2 = resolve_model_config({})
     assert arch2.token_filter_layer == 0
