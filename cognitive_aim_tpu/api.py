@@ -341,6 +341,7 @@ class CognitiveAimInference:
         predict_batch for that."""
         from cognitive_aim_tpu.io.native_loader import (
             decode_resize_batch_u8,
+            decode_resize_batch_u8_exif,
             normalize_u8_on_device,
         )
         from cognitive_aim_tpu.parallel.sharding import shard_batch
@@ -380,7 +381,15 @@ class CognitiveAimInference:
             evaluate.py does) so EVERY chunk hits the same compiled graph —
             a bare odd-sized tail silently JIT-compiled a brand-new graph
             (minutes through the TPU relay) in production serving."""
-            imgs, ok = decode_resize_batch_u8(chunk, self.image_size, self.image_size)
+            if use_exif:
+                # one pass per file: the native loader returns pixels AND
+                # the raw EXIF APP1 bytes together (a separate PIL re-open
+                # per image doubled host I/O on the host-bound path)
+                imgs, ok, payloads = decode_resize_batch_u8_exif(
+                    chunk, self.image_size, self.image_size)
+            else:
+                imgs, ok = decode_resize_batch_u8(
+                    chunk, self.image_size, self.image_size)
             n = len(chunk)
             pad = batch_size - n if n < batch_size else 0
             if pad:
@@ -388,9 +397,9 @@ class CognitiveAimInference:
             if use_exif:
                 per_image = [
                     exif_io.exif_arrays_for_model(
-                        exif_io.extract_exif(p), self.camera_to_id
+                        exif_io.extract_exif_from_app1(pl), self.camera_to_id
                     )
-                    for p in chunk
+                    for pl in payloads
                 ]
                 exif = {
                     k: np.concatenate([e[k] for e in per_image])

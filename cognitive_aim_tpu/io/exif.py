@@ -33,12 +33,55 @@ def extract_exif(image_path: str) -> Optional[Dict[str, Any]]:
         return None
 
 
+def _filter_exif_tags(exif_data: Optional[Dict]) -> Optional[Dict[str, Any]]:
+    """Shared tag filtering/plausibility pass (ref:demo.py:177-255) over a
+    raw {tag_id: value} dict."""
+    if exif_data is None:
+        return None
+    from PIL.ExifTags import TAGS
+
+    def safe_val(value):
+        try:
+            if isinstance(value, tuple) and len(value) == 2:
+                return float(value[0]) / float(value[1])
+            if isinstance(value, (int, float)):
+                return float(value)
+            return float(str(value))
+        except Exception:
+            return None
+
+    extracted: Dict[str, Any] = {}
+    for tag_id, value in exif_data.items():
+        try:
+            tag = TAGS.get(tag_id, tag_id)
+            if tag == "FocalLength":
+                v = safe_val(value)
+                if v and 10 <= v <= 500:
+                    extracted["FocalLength"] = v
+            elif tag == "FNumber":
+                v = safe_val(value)
+                if v and 1.0 <= v <= 32.0:
+                    extracted["FNumber"] = v
+            elif tag == "ExposureTime":
+                v = safe_val(value)
+                if v and 0.0001 <= v <= 30.0:
+                    extracted["ExposureTime"] = v
+            elif tag == "ISOSpeedRatings":
+                v = safe_val(value)
+                if v and 50 <= v <= 25600:
+                    extracted["ISOSpeedRatings"] = int(v)
+            elif tag in ("Make", "Model"):
+                if isinstance(value, str) and value.strip():
+                    extracted[tag] = value.strip()
+        except Exception:
+            continue
+    return extracted or None
+
+
 def extract_exif_from_pil(image) -> Optional[Dict[str, Any]]:
     """extract_exif for an already-open PIL image (in-memory uploads — the
     HTTP serving path — carry EXIF too; same plausibility ranges)."""
     try:
-        from PIL.ExifTags import TAGS
-
         try:
             exif_data = image._getexif()
         except Exception:
@@ -46,45 +89,52 @@ def extract_exif_from_pil(image) -> Optional[Dict[str, Any]]:
                 exif_data = dict(image.getexif().items()) or None
             except Exception:
                 exif_data = None
-        if exif_data is None:
-            return None
+        return _filter_exif_tags(exif_data)
+    except Exception:
+        return None
 
-        def safe_val(value):
-            try:
-                if isinstance(value, tuple) and len(value) == 2:
-                    return float(value[0]) / float(value[1])
-                if isinstance(value, (int, float)):
-                    return float(value)
-                return float(str(value))
-            except Exception:
+
+def extract_exif_from_app1(payload: Optional[bytes]) -> Optional[Dict[str, Any]]:
+    """extract_exif from a raw EXIF APP1 payload ("Exif\\0\\0" + TIFF blob)
+    as returned by the native loader — parses tags WITHOUT reopening or
+    re-decoding the image file (the loader captured the bytes during its
+    single decode pass). Merges IFD0 (Make/Model) with the Exif SubIFD
+    (FocalLength/FNumber/ISO/ExposureTime), matching PIL._getexif()."""
+    if not payload:
+        return None
+    try:
+        from PIL import Image
+
+        ex = Image.Exif()
+        ex.load(payload)
+        merged = dict(ex.items())
+        try:
+            merged.update(ex.get_ifd(0x8769))
+        except Exception:
+            pass
+        return _filter_exif_tags(merged or None)
+    except Exception:
+        return None
+
+
+def read_exif_app1(image_path: str) -> Optional[bytes]:
+    """Pure-Python APP1 scan (no pixel decode) — fallback when the native
+    loader is unavailable: walk the JPEG marker stream until SOS and return
+    the EXIF payload bytes."""
+    try:
+        with open(image_path, "rb") as f:
+            if f.read(2) != b"\xff\xd8":
                 return None
-
-        extracted: Dict[str, Any] = {}
-        for tag_id, value in exif_data.items():
-            try:
-                tag = TAGS.get(tag_id, tag_id)
-                if tag == "FocalLength":
-                    v = safe_val(value)
-                    if v and 10 <= v <= 500:
-                        extracted["FocalLength"] = v
-                elif tag == "FNumber":
-                    v = safe_val(value)
-                    if v and 1.0 <= v <= 32.0:
-                        extracted["FNumber"] = v
-                elif tag == "ExposureTime":
-                    v = safe_val(value)
-                    if v and 0.0001 <= v <= 30.0:
-                        extracted["ExposureTime"] = v
-                elif tag == "ISOSpeedRatings":
-                    v = safe_val(value)
-                    if v and 50 <= v <= 25600:
-                        extracted["ISOSpeedRatings"] = int(v)
-                elif tag in ("Make", "Model"):
-                    if isinstance(value, str) and value.strip():
-                        extracted[tag] = value.strip()
-            except Exception:
-                continue
-        return extracted or None
+            while True:
+                marker = f.read(2)
+                if len(marker) < 2 or marker[0] != 0xFF:
+                    return None
+                if marker[1] in (0xDA, 0xD9):  # SOS / EOI: no EXIF
+                    return None
+                ln = int.from_bytes(f.read(2), "big")
+                body = f.read(ln - 2)
+                if marker[1] == 0xE1 and body.startswith(b"Exif\x00\x00"):
+                    return body
     except Exception:
         return None
 

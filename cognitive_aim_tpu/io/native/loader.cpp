@@ -51,7 +51,8 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-bool decode_jpeg(FILE* f, ImageU8* out) {
+bool decode_jpeg(FILE* f, ImageU8* out,
+                 std::vector<unsigned char>* exif_out = nullptr) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -62,7 +63,19 @@ bool decode_jpeg(FILE* f, ImageU8* out) {
   }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
+  if (exif_out)  // capture the EXIF APP1 payload during header parse —
+                 // the file is read ONCE for both pixels and metadata
+    jpeg_save_markers(&cinfo, JPEG_APP0 + 1, 0xFFFF);
   jpeg_read_header(&cinfo, TRUE);
+  if (exif_out) {
+    for (jpeg_saved_marker_ptr m = cinfo.marker_list; m; m = m->next) {
+      if (m->marker == JPEG_APP0 + 1 && m->data_length >= 6 &&
+          memcmp(m->data, "Exif\0\0", 6) == 0) {
+        exif_out->assign(m->data, m->data + m->data_length);
+        break;
+      }
+    }
+  }
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
   out->w = cinfo.output_width;
@@ -111,7 +124,8 @@ bool decode_png(FILE* f, ImageU8* out) {
   return true;
 }
 
-bool decode_file(const char* path, ImageU8* out) {
+bool decode_file(const char* path, ImageU8* out,
+                 std::vector<unsigned char>* exif_out = nullptr) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   unsigned char magic[2] = {0, 0};
@@ -119,9 +133,9 @@ bool decode_file(const char* path, ImageU8* out) {
   rewind(f);
   bool ok = false;
   if (got == 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    ok = decode_jpeg(f, out);
+    ok = decode_jpeg(f, out, exif_out);
   } else if (got == 2 && magic[0] == 0x89 && magic[1] == 'P') {
-    ok = decode_png(f, out);
+    ok = decode_png(f, out);  // PNG eXIf chunks are rare; PIL fallback
   }
   fclose(f);
   return ok && out->w > 0 && out->h > 0;
@@ -224,6 +238,51 @@ int caim_decode_resize_batch_u8(const char** paths, int n, int out_h,
         resize_u8(img, out_h, out_w, out + stride * i);
         ok[i] = 1;
         n_ok.fetch_add(1);
+      } else {
+        memset(out + stride * i, 0, stride);
+        ok[i] = 0;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return n_ok.load();
+}
+
+// Combined pixels+EXIF read: same as the u8 variant but also returns each
+// JPEG's raw EXIF APP1 payload ("Exif\0\0" + TIFF blob, parsed host-side by
+// PIL.Image.Exif.load without reopening the file). exif_out is [n, exif_cap]
+// bytes, exif_lens[i] = payload length copied (0 = none / PNG / truncated-
+// oversize). Kills the second per-file host I/O pass that made serving
+// host-bound on small-core hosts.
+int caim_decode_resize_batch_u8_exif(const char** paths, int n, int out_h,
+                                     int out_w, unsigned char* out,
+                                     unsigned char* ok,
+                                     unsigned char* exif_out, int* exif_lens,
+                                     int exif_cap, int n_threads) {
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = n;
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> n_ok(0);
+  const size_t stride = size_t(out_h) * out_w * 3;
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      ImageU8 img;
+      std::vector<unsigned char> exif;
+      exif_lens[i] = 0;
+      if (decode_file(paths[i], &img, &exif)) {
+        resize_u8(img, out_h, out_w, out + stride * i);
+        ok[i] = 1;
+        n_ok.fetch_add(1);
+        if (!exif.empty() && int(exif.size()) <= exif_cap) {
+          memcpy(exif_out + size_t(i) * exif_cap, exif.data(), exif.size());
+          exif_lens[i] = int(exif.size());
+        }
       } else {
         memset(out + stride * i, 0, stride);
         ok[i] = 0;

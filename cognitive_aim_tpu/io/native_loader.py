@@ -62,6 +62,19 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_ubyte),
         ctypes.c_int,
     ]
+    lib.caim_decode_resize_batch_u8_exif.restype = ctypes.c_int
+    lib.caim_decode_resize_batch_u8_exif.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_ubyte),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -141,6 +154,47 @@ def decode_resize_batch_u8(
         n_threads,
     )
     return out, ok.astype(bool)
+
+
+_EXIF_CAP = 1 << 16  # APP1 segments are <= 65533 bytes by format
+
+
+def decode_resize_batch_u8_exif(
+    paths: List[str], out_h: int, out_w: int, n_threads: int = 0
+) -> tuple[np.ndarray, np.ndarray, List[Optional[bytes]]]:
+    """uint8 decode+resize AND raw EXIF APP1 payloads in ONE pass over each
+    file (the native loader captures the marker during JPEG header parse).
+    Returns (batch u8, ok bool, [payload bytes | None] per image) — parse
+    payloads with io.exif.extract_exif_from_app1. Falls back to PIL."""
+    lib = _ensure_built()
+    n = len(paths)
+    if lib is None:
+        from cognitive_aim_tpu.io import exif as exif_io
+
+        out, ok = decode_resize_batch_u8(paths, out_h, out_w, n_threads)
+        payloads: List[Optional[bytes]] = []
+        for p in paths:
+            raw = exif_io.read_exif_app1(p)
+            payloads.append(raw)
+        return out, ok, payloads
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    ok = np.zeros(n, np.uint8)
+    exif_buf = np.zeros((n, _EXIF_CAP), np.uint8)
+    exif_lens = np.zeros(n, np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.caim_decode_resize_batch_u8_exif(
+        c_paths, n, out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        exif_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        exif_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _EXIF_CAP, n_threads,
+    )
+    payloads = [
+        bytes(exif_buf[i, : exif_lens[i]]) if exif_lens[i] else None
+        for i in range(n)
+    ]
+    return out, ok.astype(bool), payloads
 
 
 def normalize_u8_on_device(images_u8):

@@ -189,6 +189,14 @@ class Trainer:
         )
         self._global_step = 0
 
+    def reset_params(self, params):
+        """Swap in fresh params + optimizer state, keeping every compiled
+        step (shapes unchanged -> no recompile). Lets sweep drivers train
+        several checkpoints in one process (scripts/delta_sweep.py)."""
+        self.params = shard_params(self.mesh, params, self.cfg.tensor_parallel)
+        self.opt_state = self.tx.init(self.params)
+        self._global_step = 0
+
     def _schedule(self):
         c = self.cfg
         total = max(1, c.epochs * c.steps_per_epoch // max(1, c.accumulation_steps))

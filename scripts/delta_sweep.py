@@ -1,0 +1,196 @@
+"""Multi-seed, multi-law worst-case delta sweep for the token filter.
+
+The round-2 trained-weights validation was one synthetic depth law, one
+seed — and a longer finetune REGRESSED the worst delta (docs/PERF.md), so
+a single run can't carry the 1%-budget argument. This sweep trains the
+full model (backbone unfrozen) on a GRID of (seed x depth law), then for
+each trained checkpoint measures the worst-instruction depth AbsRel of
+each candidate token-filter operating point against the same-weights f32
+exact path, and reports the MAX over runs — the number docs/PERF.md cites.
+
+    python scripts/delta_sweep.py \
+        [--seeds 0,1,2] [--laws center,ring] [--steps 400] \
+        [--filters "2:0.25;2:0.35;1:0.5,3:0.35,5:0.25"] \
+        [--image-size 224] [--out /tmp/delta_sweep.json]
+
+One process end-to-end: the train step and every engine graph compile
+once and are reused across all checkpoints (only params change).
+Runs on the TPU; ~12 min per grid cell at the defaults.
+"""
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from policy_delta import synth_images  # noqa: E402
+from train_synth_ckpt import LAWS, run_training, stage_batches  # noqa: E402
+
+EVAL_SEED = 12345  # eval images fixed across runs for comparability
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=str, default="0,1,2")
+    ap.add_argument("--laws", type=str, default="center,ring")
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--n-train", type=int, default=512)
+    ap.add_argument("--n-eval", type=int, default=32)
+    ap.add_argument("--eval-batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--filters", type=str,
+                    default="2:0.25;2:0.35;1:0.5,3:0.35,5:0.25")
+    ap.add_argument("--out", type=str, default="/tmp/delta_sweep.json")
+    ap.add_argument("--layers", type=int, default=0,
+                    help="override backbone depth (0 = full ViT-B); with "
+                         "--tiny also shrinks width for CPU smoke tests")
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cognitive_aim_tpu.core.precision import policy_from_name
+    from cognitive_aim_tpu.io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    from cognitive_aim_tpu.models import guidance as G
+    from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+    from cognitive_aim_tpu.models.config import (
+        ModelArchConfig,
+        parse_token_filter,
+    )
+    from cognitive_aim_tpu.train.trainer import TrainConfig, Trainer
+
+    seeds = [int(s) for s in args.seeds.split(",")]
+    laws = args.laws.split(",")
+    filter_specs = [s for s in args.filters.split(";") if s]
+
+    vit = None
+    if args.layers or args.tiny:
+        import dataclasses
+
+        from cognitive_aim_tpu.nn.dinov2 import BASE
+
+        kw = {"num_layers": args.layers or BASE.num_layers}
+        if args.tiny:
+            kw.update(hidden_size=64, num_heads=4,
+                      pretrain_image_size=args.image_size)
+        vit = dataclasses.replace(BASE, **kw)
+
+    # one model/trainer pair, params swapped per run (keeps compiles warm)
+    arch = ModelArchConfig(num_iterations=6, image_size=args.image_size,
+                           freeze_backbone=False, use_lora=False)
+    model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
+    tcfg = TrainConfig(epochs=1, batch_size=args.batch,
+                       steps_per_epoch=args.steps, learning_rate=args.lr,
+                       freeze_backbone=False)
+    trainer = Trainer(model, model.init(jax.random.PRNGKey(0)), tcfg,
+                      output_dir="/tmp/delta_sweep_train")
+
+    # measurement models: f32 exact (the reference answer) + one int8+filter
+    # variant per candidate spec — all sharing the trained weights
+    f32_model = CognitiveAimModel(arch, policy=policy_from_name("f32"),
+                                  attn_impl="xla", vit_cfg=vit)
+    variants = {}
+    for spec in filter_specs:
+        va = ModelArchConfig(num_iterations=6, image_size=args.image_size,
+                             freeze_backbone=False, use_lora=False,
+                             **parse_token_filter(spec))
+        variants[spec] = CognitiveAimModel(
+            va, policy=policy_from_name("int8"), attn_impl="pallas_packed",
+            vit_cfg=vit)
+
+    eval01 = synth_images(args.n_eval, args.image_size, EVAL_SEED)
+    eval_norm = ((eval01 - np.asarray(IMAGENET_MEAN, np.float32))
+                 / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
+    EB = args.eval_batch
+    exif = {
+        "camera_idx": jnp.asarray(np.zeros(EB, np.int32)),
+        "focal_length": jnp.asarray(np.full(EB, 50.0, np.float32)),
+        "aperture": jnp.asarray(np.full(EB, 2.8, np.float32)),
+        "iso": jnp.asarray(np.full(EB, 100.0, np.float32)),
+    }
+    key = jax.random.PRNGKey(0)
+
+    from cognitive_aim_tpu.core.rng import NoiseMode
+
+    def make_fwd(m):
+        return jax.jit(lambda p, x, g: m.apply(
+            p, x, exif, guidance=g, rng=key, noise_mode=NoiseMode.ZEROS))
+
+    fwds = {"f32": make_fwd(f32_model)}
+    for spec, m in variants.items():
+        fwds[spec] = make_fwd(m)
+
+    def measure(params_f32, params_int8):
+        """-> {spec: {instruction: absrel}} vs the f32 path."""
+        depths = {name: {} for name in fwds}
+        for gi, gname in enumerate(G.INSTRUCTIONS):
+            gvec = jnp.asarray(np.full(EB, gi, np.int32))
+            for name, fwd in fwds.items():
+                p = params_f32 if name == "f32" else params_int8
+                outs = []
+                for s in range(0, args.n_eval, EB):
+                    xb = jnp.asarray(eval_norm[s:s + EB])
+                    out = fwd(p, xb, gvec)
+                    outs.append(np.asarray(out.depth[:, 0], np.float64))
+                depths[name][gname] = np.concatenate(outs)
+        table = {}
+        for spec in variants:
+            table[spec] = {}
+            for gname in G.INSTRUCTIONS:
+                a, b = depths["f32"][gname], depths[spec][gname]
+                table[spec][gname] = float(np.mean(
+                    np.abs(b - a) / np.maximum(np.abs(a), 1e-6)))
+        return table
+
+    results = []
+    for seed, law in itertools.product(seeds, laws):
+        t0 = time.perf_counter()
+        print(f"\n=== run seed={seed} law={law} ===", flush=True)
+        params0 = model.init(jax.random.PRNGKey(seed))
+        trainer.reset_params(params0)
+        imgs01 = synth_images(args.n_train, args.image_size, seed)
+        target = LAWS[law](imgs01)
+        norm = ((imgs01 - np.asarray(IMAGENET_MEAN, np.float32))
+                / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
+        staged = stage_batches(trainer, norm, target, args.batch)
+        trained = run_training(trainer, staged, args.steps)
+        trained = jax.device_get(trained)
+        p_f32 = jax.device_put(trained)
+        p_int8 = model.prepare_params(trained)
+        table = measure(p_f32, p_int8)
+        for spec, per_instr in table.items():
+            worst = max(per_instr.values())
+            print(f"  {spec:>24s}: worst-instruction AbsRel "
+                  f"{worst * 100:.3f}%", flush=True)
+        results.append({"seed": seed, "law": law, "table": table,
+                        "train_s": round(time.perf_counter() - t0, 1)})
+        with open(args.out, "w") as f:
+            json.dump({"runs": results}, f, indent=1)
+
+    print(f"\n=== worst-case over {len(results)} runs "
+          f"({len(seeds)} seeds x {len(laws)} laws, {args.steps} steps) ===")
+    for spec in filter_specs:
+        worst = 0.0
+        worst_run = None
+        for r in results:
+            w = max(r["table"][spec].values())
+            if w > worst:
+                worst, worst_run = w, (r["seed"], r["law"])
+        print(f"  {spec:>24s}: max worst-instruction AbsRel "
+              f"{worst * 100:.3f}%  (seed={worst_run[0]}, law={worst_run[1]})"
+              f"  {'WITHIN' if worst < 0.01 else 'EXCEEDS'} 1% budget")
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

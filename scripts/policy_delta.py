@@ -60,7 +60,8 @@ def main():
                          "scripts/train_synth_ckpt.py output to measure the "
                          "deltas on TRAINED weights instead of random init")
     ap.add_argument("--token-filter", type=str, default="",
-                    help="LAYER:KEEP — also measure the int8 + token-filter "
+                    help="LAYER:KEEP or progressive 'L1:K1,L2:K2,...' — "
+                         "also measure the int8 + token-filter "
                          "fast path (nn/dinov2.py) vs f32. NOTE: random-init "
                          "weights give near-uniform CLS attention, so the "
                          "measured delta is a PESSIMISTIC bound relative to "
@@ -108,17 +109,10 @@ def main():
         noise_mode="zeros", save_images=False, seed=args.seed, vit_cfg=vit,
     )
     if args.token_filter:
-        from cognitive_aim_tpu.models.config import parse_token_filter
-
-        tf_cfg = dict(cfg)
-        tf_cfg["model"] = parse_token_filter(args.token_filter)
-        tf_path = "/tmp/policy_delta_tf_cfg.yaml"
-        with open(tf_path, "w") as f:
-            yaml.safe_dump(tf_cfg, f)
         engines["int8+tf"] = CognitiveAimInference(
-            tf_path, args.checkpoint, policy="int8", attn_impl="pallas_packed",
-            noise_mode="zeros", save_images=False, seed=args.seed,
-            vit_cfg=vit,
+            cfg_path, args.checkpoint, policy="int8",
+            attn_impl="pallas_packed", noise_mode="zeros", save_images=False,
+            seed=args.seed, vit_cfg=vit, token_filter=args.token_filter,
         )
 
     imgs = synth_images(args.n, args.image_size, args.seed)

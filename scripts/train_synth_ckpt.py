@@ -32,13 +32,79 @@ from policy_delta import synth_images  # noqa: E402
 
 
 def depth_law(imgs_01: np.ndarray) -> np.ndarray:
-    """[N, S, S, 3] in [0,1] -> scalar depth per image."""
+    """[N, S, S, 3] in [0,1] -> scalar depth per image (center-dominant)."""
     s = imgs_01.shape[1]
     lo, hi = s // 3, 2 * s // 3
     luma = imgs_01.mean(-1)
     center = luma[:, lo:hi, lo:hi].mean((1, 2))
     tilt = luma[:, hi:, :].mean((1, 2)) - luma[:, :lo, :].mean((1, 2))
     return (0.5 + 2.0 * center + 0.5 * tilt).astype(np.float32)
+
+
+def depth_law_ring(imgs_01: np.ndarray) -> np.ndarray:
+    """Depth signal lives OFF-center (border ring + horizontal gradient) —
+    adversarial to any center-biased token selection, so the filter must
+    keep peripheral tokens to fit it."""
+    s = imgs_01.shape[1]
+    lo, hi = s // 3, 2 * s // 3
+    luma = imgs_01.mean(-1)
+    total = luma.sum((1, 2))
+    center = luma[:, lo:hi, lo:hi].sum((1, 2))
+    ring = (total - center) / (s * s - (hi - lo) ** 2)
+    hgrad = luma[:, :, hi:].mean((1, 2)) - luma[:, :, :lo].mean((1, 2))
+    return (0.5 + 2.0 * ring + 0.5 * hgrad).astype(np.float32)
+
+
+LAWS = {"center": depth_law, "ring": depth_law_ring}
+
+
+def stage_batches(tr, norm, depths, batch, n_stage_max=12):
+    """Pre-stage device batches (no per-step H2D through the relay)."""
+    import numpy as np
+
+    n = norm.shape[0]
+    staged = []
+    for i in range(max(1, min(n // batch, n_stage_max))):
+        sl = slice(i * batch, (i + 1) * batch)
+        staged.append(tr._device_batch({
+            "images": norm[sl],
+            "depths": depths[sl],
+            "exif": {
+                "camera_idx": np.zeros(batch, np.int32),
+                "focal_length": np.full(batch, 0.25, np.float32),
+                "aperture": np.full(batch, 0.127, np.float32),
+                "iso": np.full(batch, 0.016, np.float32),
+            },
+        }))
+    return staged
+
+
+def run_training(tr, staged, steps, log_every=50):
+    """Drive the trainer's compiled step over the staged batches; returns
+    the trained params (device tree). Reusable across checkpoints in one
+    process — the step stays compiled when only params change."""
+    import jax
+    import jax.numpy as jnp
+
+    p, o = tr.params, tr.opt_state
+    cur_on = jnp.asarray(True)
+    kl_w = jnp.asarray(0.1, jnp.float32)
+    first = last = None
+    t0 = time.perf_counter()
+    for step in range(steps):
+        key = jax.random.PRNGKey(step)
+        p, o, lg = tr._step_fn(p, o, staged[step % len(staged)], key, cur_on,
+                               kl_w)
+        if step == 0 or step == steps - 1 or step % log_every == 0:
+            loss = float(lg["loss"])
+            if first is None:
+                first = loss
+            last = loss
+            print(f"step {step}: loss={loss:.4f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    print(f"loss {first:.4f} -> {last:.4f} "
+          f"({'DECREASED' if last < first else 'did NOT decrease'})")
+    return p
 
 
 def main():
@@ -50,6 +116,7 @@ def main():
     ap.add_argument("--n-images", type=int, default=512)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--law", type=str, default="center", choices=sorted(LAWS))
     args = ap.parse_args()
 
     import jax
@@ -76,44 +143,12 @@ def main():
     tr = Trainer(model, params, cfg, output_dir="/tmp/train_synth_out")
 
     imgs01 = synth_images(args.n_images, args.image_size, args.seed)
-    depths = depth_law(imgs01)
+    depths = LAWS[args.law](imgs01)
     norm = ((imgs01 - np.asarray(IMAGENET_MEAN, np.float32))
             / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
 
-    B = args.batch
-    n_stage = max(1, min(args.n_images // B, 12))
-    staged = []
-    for i in range(n_stage):
-        sl = slice(i * B, (i + 1) * B)
-        staged.append(tr._device_batch({
-            "images": norm[sl],
-            "depths": depths[sl],
-            "exif": {
-                "camera_idx": np.zeros(B, np.int32),
-                "focal_length": np.full(B, 0.25, np.float32),
-                "aperture": np.full(B, 0.127, np.float32),
-                "iso": np.full(B, 0.016, np.float32),
-            },
-        }))
-
-    p, o = tr.params, tr.opt_state
-    cur_on = jnp.asarray(True)
-    kl_w = jnp.asarray(0.1, jnp.float32)
-    first = last = None
-    t0 = time.perf_counter()
-    for step in range(args.steps):
-        key = jax.random.PRNGKey(step)
-        p, o, lg = tr._step_fn(p, o, staged[step % n_stage], key, cur_on,
-                               kl_w)
-        if step == 0 or step == args.steps - 1 or step % 50 == 0:
-            loss = float(lg["loss"])
-            if first is None:
-                first = loss
-            last = loss
-            print(f"step {step}: loss={loss:.4f} "
-                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
-    print(f"loss {first:.4f} -> {last:.4f} "
-          f"({'DECREASED' if last < first else 'did NOT decrease'})")
+    staged = stage_batches(tr, norm, depths, args.batch)
+    p = run_training(tr, staged, args.steps)
 
     flat = flatten_tree(jax.device_get(p))
     np.savez(args.out, **flat)

@@ -50,6 +50,57 @@ def test_bad_path(images):
     assert np.all(out[1] == 0.0)
 
 
+def _exif_jpeg(tmp_path, name="exif.jpg"):
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    img = Image.fromarray((rng.rand(80, 60, 3) * 255).astype(np.uint8))
+    ex = Image.Exif()
+    ex[271], ex[272] = "TestMake", "TestModel"
+    sub = ex.get_ifd(0x8769)
+    sub[37386] = 35.0   # FocalLength
+    sub[33437] = 4.0    # FNumber
+    sub[34855] = 400    # ISOSpeedRatings
+    sub[33434] = 0.01   # ExposureTime
+    p = str(tmp_path / name)
+    img.save(p, "JPEG", exif=ex)
+    return p
+
+
+def test_exif_single_pass(images, tmp_path):
+    """The combined decode+EXIF call returns pixels AND the APP1 payload in
+    one file pass; parsed tags match the PIL reopen path exactly."""
+    from cognitive_aim_tpu.io import exif as exif_io
+
+    p_exif = _exif_jpeg(tmp_path)
+    paths = [p_exif] + list(images)  # EXIF jpeg + plain jpeg + png
+    u8, ok, payloads = native_loader.decode_resize_batch_u8_exif(paths, 48, 64)
+    assert ok.all()
+    # pixels identical to the EXIF-less call
+    u8_ref, _ = native_loader.decode_resize_batch_u8(paths, 48, 64)
+    np.testing.assert_array_equal(u8, u8_ref)
+    # payload present only for the EXIF-bearing jpeg
+    assert payloads[0] is not None and payloads[0].startswith(b"Exif\x00\x00")
+    assert payloads[1] is None and payloads[2] is None
+    got = exif_io.extract_exif_from_app1(payloads[0])
+    want = exif_io.extract_exif(p_exif)
+    assert got == want
+    assert got["FocalLength"] == 35.0 and got["FNumber"] == 4.0
+    assert got["ISOSpeedRatings"] == 400 and got["Model"] == "TestModel"
+
+
+def test_exif_app1_python_fallback(images, tmp_path):
+    """read_exif_app1 (the no-native fallback) finds the same payload the
+    C loader captures, without decoding pixels."""
+    from cognitive_aim_tpu.io import exif as exif_io
+
+    p_exif = _exif_jpeg(tmp_path, "exif2.jpg")
+    raw = exif_io.read_exif_app1(p_exif)
+    _, _, payloads = native_loader.decode_resize_batch_u8_exif([p_exif], 32, 32)
+    assert raw == payloads[0]
+    assert exif_io.read_exif_app1(list(images)[0]) is None
+
+
 def test_decode_u8_matches_f32(images):
     paths = list(images)
     u8, ok = native_loader.decode_resize_batch_u8(paths, 48, 64)
