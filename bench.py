@@ -83,23 +83,29 @@ def bench(batch_size: int, image_size: int, policy: str, attn: str,
         _, depths = jax.lax.scan(body, images, None, length=k)
         return depths.sum()
 
-    times = {}
+    reps = 3
+    times = {k: [] for k in (k_short, k_long)}
     for k in (k_short, k_long):
         t0 = time.perf_counter()
         _ = np.asarray(chain(params, images, k))
         log(f"  K={k} compile+first: {time.perf_counter() - t0:.1f}s")
-        best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             _ = np.asarray(chain(params, images, k))
-            best = min(best, time.perf_counter() - t0)
-        times[k] = best
-        log(f"  K={k}: {best * 1e3:.1f} ms")
-    per_step = (times[k_long] - times[k_short]) / (k_long - k_short)
+            times[k].append(time.perf_counter() - t0)
+    # one slope per repetition; report the MEDIAN and the spread so
+    # round-over-round deltas stay distinguishable from relay noise
+    slopes = sorted(
+        (tl - ts) / (k_long - k_short)
+        for ts, tl in zip(times[k_short], times[k_long])
+    )
+    per_step = slopes[len(slopes) // 2]
+    spread = (slopes[-1] - slopes[0]) / per_step * 100.0
     ips = B / per_step
     mfu = model_flops_per_image(S) * ips / 197e12
     log(f"B={B} S={S} policy={policy} attn={attn}: {ips:.1f} img/s "
-        f"({per_step * 1e3:.2f} ms/step, ~{mfu * 100:.0f}% of bf16 peak)")
+        f"(median of {reps}, spread {spread:.1f}%; "
+        f"{per_step * 1e3:.2f} ms/step, ~{mfu * 100:.0f}% of bf16 peak)")
     return ips
 
 
