@@ -195,6 +195,8 @@ class CognitiveAimModel:
         train: bool = False,
         noise_mode: NoiseMode = NoiseMode.SAMPLE,
         curiosity_kl_weight: Optional[Any] = None,
+        pipeline_mesh=None,
+        pipeline_n_micro: int = 4,
     ) -> ModelOutput:
         """Unified forward. `guidance` is None for the unguided path, or an
         instruction index (guidance.INSTRUCTIONS order) — scalar or per-sample
@@ -230,13 +232,34 @@ class CognitiveAimModel:
                 if gvec.ndim == 1:
                     gvec = jnp.broadcast_to(gvec[None], (B, gh * gw))
                 filter_kw["keep_weights"] = gvec
-        hs = dinov2.apply(
-            params["backbone"], images, self.vit_cfg,
-            compute_dtype=self.policy.backbone_compute_dtype,
-            attn_impl=self.attn_impl,
-            remat=train,  # per-block activation remat for training memory
-            **filter_kw,
-        ).astype(jnp.float32)
+        if pipeline_mesh is not None:
+            # GPipe backbone over the mesh's `pipe` axis (latency option
+            # for the 24-layer `large` backbone); cognitive streams, fusion
+            # and heads stay data-parallel. Token filtering is a
+            # single-device optimization and doesn't compose with the
+            # stage-sharded layer stack.
+            if filter_kw:
+                raise ValueError(
+                    "token filtering and pipeline parallelism are mutually "
+                    "exclusive (the filter re-shapes the stream mid-stack)")
+            if self.policy.quantize_backbone:
+                raise ValueError(
+                    "pipeline parallelism requires unquantized backbone "
+                    "params (use policy='default'/'f32')")
+            hs = dinov2.apply_pipelined(
+                params["backbone"], images, self.vit_cfg, pipeline_mesh,
+                n_micro=pipeline_n_micro,
+                compute_dtype=self.policy.backbone_compute_dtype,
+                attn_impl=self.attn_impl,
+            ).astype(jnp.float32)
+        else:
+            hs = dinov2.apply(
+                params["backbone"], images, self.vit_cfg,
+                compute_dtype=self.policy.backbone_compute_dtype,
+                attn_impl=self.attn_impl,
+                remat=train,  # per-block activation remat for training memory
+                **filter_kw,
+            ).astype(jnp.float32)
         cls_token = hs[:, 0]
         patches = hs[:, 1:]
         B, N, D = patches.shape

@@ -419,6 +419,43 @@ def test_dinov2_chained_int8_matches_xla_int8(monkeypatch):
                                rtol=5e-2)
 
 
+def test_chained_int8_per_layer_parity(monkeypatch):
+    """Per-LAYER bound on the chained-int8 kernels vs the XLA int8 path —
+    an order of magnitude tighter than the end-to-end 2e-2/5e-2 above:
+    within one block the two paths differ only in epilogue rounding order
+    (both consume identical int8 weights), so a single-layer comparison
+    pins the deviation before it accumulates across the stack."""
+    _interp(monkeypatch)
+    import dataclasses
+
+    from cognitive_aim_tpu.kernels.int8_ops import quantize_backbone_layers
+    from cognitive_aim_tpu.nn import dinov2
+
+    cfg = dataclasses.replace(
+        dinov2.DinoV2Config(hidden_size=64, num_layers=1, num_heads=4,
+                            patch_size=14, pretrain_image_size=56),
+        gelu_approx=True,
+    )
+    params = dinov2.init(jax.random.PRNGKey(0), cfg)
+    qlayers = quantize_backbone_layers(params["layers"])
+    lp = jax.tree.map(lambda a: a[0], qlayers)  # unstack the single layer
+    lp_xla = dict(lp)
+    del lp_xla["qkv_i8"]  # per-projection XLA int8 path
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 17, 64), jnp.float32)
+    got = np.asarray(dinov2._block_int8_chained(lp, x, cfg, "pallas_packed"))
+    want = np.asarray(dinov2._block(lp_xla, x, cfg, "pallas_packed"))
+    f32 = np.asarray(dinov2._block(
+        jax.tree.map(lambda a: a[0], params["layers"]), x, cfg,
+        "pallas_packed"))
+    # absolute per-layer bound (vs 2e-2 end-to-end) ...
+    np.testing.assert_allclose(got, want, atol=8e-3)
+    # ... and relative to the quantization noise floor: the chained-vs-XLA
+    # gap must not exceed the XLA-int8-vs-f32 quantization error itself
+    # (both paths sit one rounding step from the float answer)
+    assert np.abs(got - want).max() <= 1.5 * np.abs(want - f32).max()
+
+
 def test_tp_mesh_composes_with_pallas_packed(monkeypatch):
     """VERDICT r1 weak #3: TP-sharded q/k/v ([B,N,H*D/2] per shard) through
     the packed Pallas kernel — GSPMD must produce the same result as the

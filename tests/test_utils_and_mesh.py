@@ -173,6 +173,62 @@ def test_pipelined_backbone_matches_sequential():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-4)
 
 
+def test_full_model_pipelined_matches_sequential():
+    """CognitiveAimModel.apply(pipeline_mesh=...) — the FULL model (focal
+    streams, fusion, heads included) with a GPipe backbone reproduces the
+    sequential forward; the filter/quantize exclusions raise cleanly."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+    from cognitive_aim_tpu.models.config import ModelArchConfig
+    from cognitive_aim_tpu.nn.dinov2 import DinoV2Config
+    from cognitive_aim_tpu.parallel.pipeline import make_pipeline_mesh
+
+    vit = DinoV2Config(hidden_size=64, num_layers=4, num_heads=4,
+                       patch_size=14, pretrain_image_size=56)
+    arch = ModelArchConfig(num_iterations=2, image_size=56)
+    model = CognitiveAimModel(arch, vit_cfg=vit)
+    params = model.init(jax.random.PRNGKey(0))
+    B = 4
+    images = jax.random.normal(jax.random.PRNGKey(1), (B, 56, 56, 3)) * 0.5
+    exif = {
+        "camera_idx": jnp.zeros((B,), jnp.int32),
+        "focal_length": jnp.full((B,), 50.0),
+        "aperture": jnp.full((B,), 2.8),
+        "iso": jnp.full((B,), 100.0),
+    }
+    key = jax.random.PRNGKey(2)
+    gidx = jnp.asarray([0, 3, 5, 8], jnp.int32)
+    want = model.apply(params, images, exif, guidance=gidx, rng=key)
+    mesh = make_pipeline_mesh(4)
+    got = jax.jit(
+        lambda p, x, e, g: model.apply(p, x, e, guidance=g, rng=key,
+                                       pipeline_mesh=mesh,
+                                       pipeline_n_micro=2)
+    )(params, images, exif, gidx)
+    np.testing.assert_allclose(np.asarray(got.depth),
+                               np.asarray(want.depth), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.confidence),
+                               np.asarray(want.confidence), atol=1e-5,
+                               rtol=1e-4)
+    # T=0.05 softmax amplifies the ~1e-5 pipelined-backbone difference
+    # ~20x into the guided blend; near-zero entries make rtol meaningless
+    np.testing.assert_allclose(np.asarray(got.attention),
+                               np.asarray(want.attention), atol=1e-3)
+
+    # exclusions: token filter and int8 backbone don't compose with PP
+    arch_tf = ModelArchConfig(num_iterations=2, image_size=56,
+                              token_filter_layer=2, token_filter_keep=0.5)
+    model_tf = CognitiveAimModel(arch_tf, vit_cfg=vit)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        model_tf.apply(params, images, exif, guidance=gidx, rng=key,
+                       pipeline_mesh=mesh)
+
+
 def test_pipelined_scan_rejects_bad_shapes():
     import pytest
 
