@@ -223,6 +223,7 @@ class CognitiveAimModel:
                 filter_keep=a.token_filter_keep,
                 filter_fuse=a.token_filter_fuse,
                 filter_schedule=a.token_filter_schedule,
+                filter_rollout=a.token_filter_rollout,
             )
             if guidance is not None:
                 B = images.shape[0]

@@ -63,6 +63,9 @@ class ModelArchConfig:
     # instead of one cliff; overrides the single layer/keep pair. Parsed
     # from 'L1:K1,L2:K2,...' CLI specs by parse_token_filter.
     token_filter_schedule: tuple = ()
+    # 0..1: blend carried importance from earlier stages into later-stage
+    # ranking (multi-layer rollout evidence); '@rX' suffix in CLI specs.
+    token_filter_rollout: float = 0.0
 
     @property
     def token_filter_active(self) -> bool:
@@ -117,17 +120,26 @@ def parse_token_filter(spec: str) -> dict:
     'LAYER:KEEP'                -> single-stage filter
     'L1:K1,L2:K2,...'           -> progressive schedule (strictly
                                    increasing layers, decreasing keeps)
+    '...@rX'                    -> with importance rollout weight X
     Single parse point for api.py / bench.py / scripts/policy_delta.py."""
     if not spec:
         return {}
+    out = {}
+    if "@" in spec:
+        spec, opt = spec.split("@", 1)
+        if not opt.startswith("r"):
+            raise ValueError(f"unknown token-filter option '@{opt}'")
+        out["token_filter_rollout"] = float(opt[1:])
     stages = []
     for part in spec.split(","):
         layer, keep = part.split(":")
         stages.append((int(layer), float(keep)))
     if len(stages) == 1:
-        return {"token_filter_layer": stages[0][0],
-                "token_filter_keep": stages[0][1]}
-    return {"token_filter_schedule": tuple(stages)}
+        out.update(token_filter_layer=stages[0][0],
+                   token_filter_keep=stages[0][1])
+    else:
+        out["token_filter_schedule"] = tuple(stages)
+    return out
 
 
 DEFAULT_COGNITIVE_MODULES = (
@@ -232,5 +244,9 @@ def resolve_model_config(
             (int(l), float(k)) for l, k in
             _get(raw, "token_filter_schedule",
                  model_cfg.get("token_filter_schedule", ()), lookup)
+        ),
+        token_filter_rollout=float(
+            _get(raw, "token_filter_rollout",
+                 model_cfg.get("token_filter_rollout", 0.0), lookup)
         ),
     )

@@ -511,6 +511,7 @@ def apply(
     filter_keep: float = 1.0,
     filter_fuse: bool = True,
     filter_schedule=(),
+    filter_rollout: float = 0.0,
     keep_weights=None,
 ) -> jnp.ndarray:
     """Forward pass.
@@ -534,6 +535,10 @@ def apply(
         Spreading one cliff-drop over several smaller ones keeps more
         tokens alive through the early layers where attention is still
         deciding what matters. Overrides filter_layer/filter_keep.
+      filter_rollout: 0..1 — at stage 2+ blend the surviving tokens'
+        accumulated importance from earlier stages into the fresh ranking
+        (rollout-style multi-layer evidence instead of a single layer's
+        CLS row): rank by (1-r)*fresh + r*carried. 0 = fresh only.
     Returns:
       last_hidden_state [B, 1 + N, D] after the final layernorm, matching
       Dinov2Model.forward().last_hidden_state (ref:src/model.py:973-975 reads
@@ -610,6 +615,8 @@ def apply(
         ks = [max(1, int(round(k * P))) for k in kf]
         x_full = None
         idx_global = None
+        imp_carry = None  # surviving tokens' accumulated importance
+        r = float(filter_rollout)
         prev = 0
         for (boundary, _), k_i in zip(schedule, ks):
             seg = jax.tree.map(lambda a: a[prev:boundary], layers)
@@ -623,6 +630,7 @@ def apply(
                     x, imp, keep_weights, k_i,
                     fuse=filter_fuse and k_i < P,
                 )
+                imp_carry = jnp.take_along_axis(imp, idx_global, axis=1)
             else:
                 k_prev = idx_global.shape[1]
                 if k_i >= k_prev:
@@ -634,9 +642,14 @@ def apply(
                 if keep_weights is not None:
                     kw = jnp.take_along_axis(
                         keep_weights, idx_global, axis=1)
+                if r > 0.0:
+                    imp_p = (1.0 - r) * imp[:, :k_prev] + r * imp_carry
+                    imp = jnp.concatenate([imp_p, imp[:, k_prev:]], axis=1)
                 x, idx_local = _refilter_tokens(
                     x, imp, k_prev, kw, k_i, fuse=filter_fuse,
                 )
+                imp_carry = jnp.take_along_axis(
+                    imp[:, :k_prev], idx_local, axis=1)
                 idx_global = jnp.take_along_axis(
                     idx_global, idx_local, axis=1)
         tail = jax.tree.map(lambda a: a[prev:], layers)

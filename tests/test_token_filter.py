@@ -257,6 +257,35 @@ def test_parse_token_filter_schedule():
         "token_filter_layer": 2, "token_filter_keep": 0.25}
     assert parse_token_filter("1:0.6,3:0.4,5:0.25") == {
         "token_filter_schedule": ((1, 0.6), (3, 0.4), (5, 0.25))}
+    assert parse_token_filter("1:0.6,3:0.4@r0.5") == {
+        "token_filter_schedule": ((1, 0.6), (3, 0.4)),
+        "token_filter_rollout": 0.5}
+    with pytest.raises(ValueError):
+        parse_token_filter("1:0.6@x2")
+
+
+def test_progressive_rollout_ranking(setup):
+    """filter_rollout blends carried importance into later-stage ranking:
+    with r=1.0 the stage-2 ranking must reproduce stage-1's order (fresh
+    attention fully ignored), so the kept set is the stage-1 top-k."""
+    params, images = setup
+    out = dinov2.apply(params, images, CFG,
+                       filter_schedule=((1, 0.6), (3, 0.25)),
+                       filter_rollout=0.5)
+    assert out.shape == (2, 17, 64)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # direct unit check: r=1 keeps stage-1 order
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp1 = dinov2._cls_importance(first, x, CFG)
+    xf, idx1 = dinov2._filter_tokens(x, imp1, None, 8, fuse=False)
+    carried = jnp.take_along_axis(imp1, idx1, axis=1)
+    # blended importance with r=1 == carried; top-3 of carried must equal
+    # the local indices of the 3 highest stage-1 importances
+    _, idx_local = dinov2._refilter_tokens(xf, carried, 8, None, 3,
+                                           fuse=False)
+    want = np.sort(np.argsort(-np.asarray(carried), axis=1)[:, :3], axis=1)
+    np.testing.assert_array_equal(np.asarray(idx_local), want)
 
 
 def test_model_level_progressive():
