@@ -54,6 +54,11 @@ def main():
                     help="override backbone depth (0 = full ViT-B); with "
                          "--tiny also shrinks width for CPU smoke tests")
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--ckpt-dir", type=str, default="/tmp/delta_sweep_ckpts",
+                    help="save each cell's trained params here; with "
+                         "--measure-only, load instead of retraining "
+                         "(skips the ~20 min train-step compile)")
+    ap.add_argument("--measure-only", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -89,11 +94,14 @@ def main():
     arch = ModelArchConfig(num_iterations=6, image_size=args.image_size,
                            freeze_backbone=False, use_lora=False)
     model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
-    tcfg = TrainConfig(epochs=1, batch_size=args.batch,
-                       steps_per_epoch=args.steps, learning_rate=args.lr,
-                       freeze_backbone=False)
-    trainer = Trainer(model, model.init(jax.random.PRNGKey(0)), tcfg,
-                      output_dir="/tmp/delta_sweep_train")
+    trainer = None
+    if not args.measure_only:
+        tcfg = TrainConfig(epochs=1, batch_size=args.batch,
+                           steps_per_epoch=args.steps, learning_rate=args.lr,
+                           freeze_backbone=False)
+        trainer = Trainer(model, model.init(jax.random.PRNGKey(0)), tcfg,
+                          output_dir="/tmp/delta_sweep_train")
+    os.makedirs(args.ckpt_dir, exist_ok=True)
 
     # measurement models: f32 exact (the reference answer) + one int8+filter
     # variant per candidate spec — all sharing the trained weights
@@ -152,19 +160,31 @@ def main():
                     np.abs(b - a) / np.maximum(np.abs(a), 1e-6)))
         return table
 
+    from cognitive_aim_tpu.api import flatten_tree, unflatten_npz
+
     results = []
     for seed, law in itertools.product(seeds, laws):
         t0 = time.perf_counter()
         print(f"\n=== run seed={seed} law={law} ===", flush=True)
-        params0 = model.init(jax.random.PRNGKey(seed))
-        trainer.reset_params(params0)
-        imgs01 = synth_images(args.n_train, args.image_size, seed)
-        target = LAWS[law](imgs01)
-        norm = ((imgs01 - np.asarray(IMAGENET_MEAN, np.float32))
-                / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
-        staged = stage_batches(trainer, norm, target, args.batch)
-        trained = run_training(trainer, staged, args.steps)
-        trained = jax.device_get(trained)
+        ckpt = os.path.join(args.ckpt_dir,
+                            f"s{seed}_{law}_{args.steps}.npz")
+        if os.path.exists(ckpt):
+            print(f"  (loading {ckpt})", flush=True)
+            trained = unflatten_npz(np.load(ckpt))
+        elif args.measure_only:
+            print(f"  SKIP: --measure-only but {ckpt} missing", flush=True)
+            continue
+        else:
+            params0 = model.init(jax.random.PRNGKey(seed))
+            trainer.reset_params(params0)
+            imgs01 = synth_images(args.n_train, args.image_size, seed)
+            target = LAWS[law](imgs01)
+            norm = ((imgs01 - np.asarray(IMAGENET_MEAN, np.float32))
+                    / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
+            staged = stage_batches(trainer, norm, target, args.batch)
+            trained = run_training(trainer, staged, args.steps)
+            trained = jax.device_get(trained)
+            np.savez(ckpt, **flatten_tree(trained))
         p_f32 = jax.device_put(trained)
         p_int8 = model.prepare_params(trained)
         table = measure(p_f32, p_int8)
