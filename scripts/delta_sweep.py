@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--eval-size", type=int, default=0,
+                    help="measure deltas at this resolution (0 = same as "
+                         "--image-size). Training stays at --image-size; "
+                         "the interpolated position embedding makes the "
+                         "trained weights valid at both, so the delta can "
+                         "be measured at the 518 operating point without "
+                         "training there.")
     ap.add_argument("--n-train", type=int, default=512)
     ap.add_argument("--n-eval", type=int, default=32)
     ap.add_argument("--eval-batch", type=int, default=16)
@@ -105,18 +112,21 @@ def main():
 
     # measurement models: f32 exact (the reference answer) + one int8+filter
     # variant per candidate spec — all sharing the trained weights
-    f32_model = CognitiveAimModel(arch, policy=policy_from_name("f32"),
-                                  attn_impl="xla", vit_cfg=vit)
+    eval_size = args.eval_size or args.image_size
+    f32_model = CognitiveAimModel(
+        ModelArchConfig(num_iterations=6, image_size=eval_size,
+                        freeze_backbone=False, use_lora=False),
+        policy=policy_from_name("f32"), attn_impl="xla", vit_cfg=vit)
     variants = {}
     for spec in filter_specs:
-        va = ModelArchConfig(num_iterations=6, image_size=args.image_size,
+        va = ModelArchConfig(num_iterations=6, image_size=eval_size,
                              freeze_backbone=False, use_lora=False,
                              **parse_token_filter(spec))
         variants[spec] = CognitiveAimModel(
             va, policy=policy_from_name("int8"), attn_impl="pallas_packed",
             vit_cfg=vit)
 
-    eval01 = synth_images(args.n_eval, args.image_size, EVAL_SEED)
+    eval01 = synth_images(args.n_eval, eval_size, EVAL_SEED)
     eval_norm = ((eval01 - np.asarray(IMAGENET_MEAN, np.float32))
                  / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
     EB = args.eval_batch
