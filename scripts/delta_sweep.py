@@ -56,6 +56,13 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--filters", type=str,
                     default="2:0.25;2:0.35;1:0.5,3:0.35,5:0.25")
+    ap.add_argument("--train-filter", type=str, default="",
+                    help="train WITH this token-filter schedule active "
+                         "(EViT-style filter-aware finetuning: attention "
+                         "learns to survive the drop, which is the "
+                         "deployment regime if the filter is on in "
+                         "production). Checkpoints are cached under a "
+                         "spec-suffixed name.")
     ap.add_argument("--out", type=str, default="/tmp/delta_sweep.json")
     ap.add_argument("--layers", type=int, default=0,
                     help="override backbone depth (0 = full ViT-B); with "
@@ -99,7 +106,8 @@ def main():
 
     # one model/trainer pair, params swapped per run (keeps compiles warm)
     arch = ModelArchConfig(num_iterations=6, image_size=args.image_size,
-                           freeze_backbone=False, use_lora=False)
+                           freeze_backbone=False, use_lora=False,
+                           **parse_token_filter(args.train_filter))
     model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
     trainer = None
     if not args.measure_only:
@@ -176,8 +184,12 @@ def main():
     for seed, law in itertools.product(seeds, laws):
         t0 = time.perf_counter()
         print(f"\n=== run seed={seed} law={law} ===", flush=True)
+        tf_tag = ""
+        if args.train_filter:
+            tf_tag = "_tf" + args.train_filter.replace(":", "-") \
+                .replace(",", "_").replace("@", "r")
         ckpt = os.path.join(args.ckpt_dir,
-                            f"s{seed}_{law}_{args.steps}.npz")
+                            f"s{seed}_{law}_{args.steps}{tf_tag}.npz")
         if os.path.exists(ckpt):
             print(f"  (loading {ckpt})", flush=True)
             trained = unflatten_npz(np.load(ckpt))
