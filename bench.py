@@ -42,7 +42,8 @@ def model_flops_per_image(image_size: int, num_iterations: int = 3) -> float:
 
 def bench(batch_size: int, image_size: int, policy: str, attn: str,
           k_short: int, k_long: int, guided: bool = True,
-          token_filter: str = "", backbone: str = "base"):
+          token_filter: str = "", backbone: str = "base",
+          num_iterations: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -52,7 +53,11 @@ def bench(batch_size: int, image_size: int, policy: str, attn: str,
 
     from cognitive_aim_tpu.models.config import parse_token_filter
 
-    arch = ModelArchConfig(num_iterations=3, image_size=image_size,
+    # The north-star config (eval_configs/full_cognitive_config.yaml:93)
+    # runs 2 focal iterations; rounds 1-2 benched a conservative 3
+    # (--iters 3 reproduces those numbers).
+    arch = ModelArchConfig(num_iterations=num_iterations,
+                           image_size=image_size,
                            backbone_size=backbone,
                            **parse_token_filter(token_filter))
     model = CognitiveAimModel(arch, policy=policy_from_name(policy), attn_impl=attn)
@@ -102,7 +107,7 @@ def bench(batch_size: int, image_size: int, policy: str, attn: str,
     per_step = slopes[len(slopes) // 2]
     spread = (slopes[-1] - slopes[0]) / per_step * 100.0
     ips = B / per_step
-    mfu = model_flops_per_image(S) * ips / 197e12
+    mfu = model_flops_per_image(S, num_iterations) * ips / 197e12
     log(f"B={B} S={S} policy={policy} attn={attn}: {ips:.1f} img/s "
         f"(median of {reps}, spread {spread:.1f}%; "
         f"{per_step * 1e3:.2f} ms/step, ~{mfu * 100:.0f}% of bf16 peak)")
@@ -122,6 +127,10 @@ def main():
                          "'4:0.35' (NOT used for the headline number)")
     ap.add_argument("--backbone", type=str, default="base",
                     choices=["base", "large"])
+    ap.add_argument("--iters", type=int, default=2,
+                    help="focal iterations; 2 matches the north-star "
+                         "config (full_cognitive_config.yaml:93), 3 "
+                         "reproduces the round-1/2 bench numbers")
     args = ap.parse_args()
 
     batches = [args.batch] if args.batch else [8, 16, 24]
@@ -138,7 +147,8 @@ def main():
                 best = max(best, bench(b, args.size, policy, attn,
                                        args.k_short, args.k_long,
                                        token_filter=args.token_filter,
-                                       backbone=args.backbone))
+                                       backbone=args.backbone,
+                                       num_iterations=args.iters))
             except Exception as e:
                 log(f"B={b} {policy}/{attn} failed: {type(e).__name__}: {e}")
         if best > 0:

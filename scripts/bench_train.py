@@ -8,8 +8,13 @@ from cognitive_aim_tpu.train.trainer import TrainConfig, Trainer
 
 B, S = int(os.environ.get("TB_B", 32)), int(os.environ.get("TB_S", 224))
 frozen = os.environ.get("TB_FROZEN", "1") == "1"
+# TB_FILTER: token-filter spec (e.g. '2:0.25' or '1:0.5,3:0.35,5:0.25') —
+# filter-active TRAINING: fewer tokens in fwd+bwd for every layer past the
+# drop point, and the deployment regime when serving runs the filter.
+from cognitive_aim_tpu.models.config import parse_token_filter
 arch = ModelArchConfig(num_iterations=3, image_size=S, freeze_backbone=frozen,
-                       use_lora=frozen)
+                       use_lora=frozen,
+                       **parse_token_filter(os.environ.get("TB_FILTER", "")))
 model = CognitiveAimModel(arch, attn_impl="pallas_packed")
 params = model.init(jax.random.PRNGKey(0))
 cfg = TrainConfig(epochs=1, batch_size=B, steps_per_epoch=100,
