@@ -19,6 +19,7 @@ Runs on the TPU; ~12 min per grid cell at the defaults.
 """
 
 import argparse
+import gc
 import itertools
 import json
 import os
@@ -138,6 +139,10 @@ def main():
     eval_norm = ((eval01 - np.asarray(IMAGENET_MEAN, np.float32))
                  / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
     EB = args.eval_batch
+    # upload the (cell-invariant) eval batches ONCE — re-uploading 16 MB
+    # per dispatch through the relay dominated the eval wall time
+    eval_dev = [jnp.asarray(eval_norm[s:s + EB])
+                for s in range(0, args.n_eval, EB)]
     exif = {
         "camera_idx": jnp.asarray(np.zeros(EB, np.int32)),
         "focal_length": jnp.asarray(np.full(EB, 50.0, np.float32)),
@@ -157,18 +162,24 @@ def main():
         fwds[spec] = make_fwd(m)
 
     def measure(params_f32, params_int8):
-        """-> {spec: {instruction: absrel}} vs the f32 path."""
-        depths = {name: {} for name in fwds}
+        """-> {spec: {instruction: absrel}} vs the f32 path.
+
+        All dispatches are queued asynchronously and each graph's outputs
+        are fetched ONCE (the relay's host fetch is the sync point at
+        ~15s/round-trip; per-batch fetching made the eval 25+ min/cell)."""
+        device_outs = {name: {} for name in fwds}
         for gi, gname in enumerate(G.INSTRUCTIONS):
             gvec = jnp.asarray(np.full(EB, gi, np.int32))
             for name, fwd in fwds.items():
                 p = params_f32 if name == "f32" else params_int8
-                outs = []
-                for s in range(0, args.n_eval, EB):
-                    xb = jnp.asarray(eval_norm[s:s + EB])
-                    out = fwd(p, xb, gvec)
-                    outs.append(np.asarray(out.depth[:, 0], np.float64))
-                depths[name][gname] = np.concatenate(outs)
+                outs = [fwd(p, xb, gvec).depth[:, 0] for xb in eval_dev]
+                device_outs[name][gname] = jnp.concatenate(outs)
+        depths = {}
+        for name, per in device_outs.items():
+            stacked = np.asarray(
+                jnp.stack([per[g] for g in G.INSTRUCTIONS]), np.float64)
+            depths[name] = {g: stacked[i]
+                            for i, g in enumerate(G.INSTRUCTIONS)}
         table = {}
         for spec in variants:
             table[spec] = {}
@@ -210,6 +221,16 @@ def main():
         p_f32 = jax.device_put(trained)
         p_int8 = model.prepare_params(trained)
         table = measure(p_f32, p_int8)
+        del p_f32, p_int8, trained
+        gc.collect()
+        rss_gb = 0.0
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    rss_gb = int(line.split()[1]) / 1e6
+        sizes = {n: fw._cache_size() for n, fw in fwds.items()}
+        print(f"  [mem] RSS {rss_gb:.1f} GB; jit cache sizes {sizes}",
+              flush=True)
         for spec, per_instr in table.items():
             worst = max(per_instr.values())
             print(f"  {spec:>24s}: worst-instruction AbsRel "
