@@ -212,7 +212,7 @@ class CognitiveAimModel:
         """
         a = self.arch
         filter_kw = {}
-        if a.token_filter_active and not train:
+        if a.token_filter_active and (not train or a.token_filter_train):
             # opt-in approximate fast path (token_filter_* config; OFF by
             # default). Guided-region tokens get keep priority so the focal
             # re-pool (ref:1400-1414 blend) sees fresh features where the
@@ -224,6 +224,7 @@ class CognitiveAimModel:
                 filter_fuse=a.token_filter_fuse,
                 filter_schedule=a.token_filter_schedule,
                 filter_rollout=a.token_filter_rollout,
+                filter_merge=a.token_filter_merge,
             )
             if guidance is not None:
                 B = images.shape[0]

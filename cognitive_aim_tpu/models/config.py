@@ -66,6 +66,14 @@ class ModelArchConfig:
     # 0..1: blend carried importance from earlier stages into later-stage
     # ranking (multi-layer rollout evidence); '@rX' suffix in CLI specs.
     token_filter_rollout: float = 0.0
+    # Merge mode ('@m' suffix): dropped tokens are absorbed into their
+    # most-similar kept token (ToMe-style) instead of frozen, and dropped
+    # positions read their representative's final-layer feature at
+    # un-filter time. Tighter prediction parity at ~equal throughput.
+    token_filter_merge: bool = False
+    # Keep the filter active during TRAINING too (filter-aware finetuning,
+    # the EViT deployment recipe). Off by default: training stays exact.
+    token_filter_train: bool = False
 
     @property
     def token_filter_active(self) -> bool:
@@ -121,15 +129,21 @@ def parse_token_filter(spec: str) -> dict:
     'L1:K1,L2:K2,...'           -> progressive schedule (strictly
                                    increasing layers, decreasing keeps)
     '...@rX'                    -> with importance rollout weight X
+    '...@m'                     -> merge mode (ToMe-style absorb instead
+                                   of drop; options compose, e.g. '@m@r0.5')
     Single parse point for api.py / bench.py / scripts/policy_delta.py."""
     if not spec:
         return {}
     out = {}
-    if "@" in spec:
-        spec, opt = spec.split("@", 1)
-        if not opt.startswith("r"):
+    parts = spec.split("@")
+    spec = parts[0]
+    for opt in parts[1:]:
+        if opt == "m":
+            out["token_filter_merge"] = True
+        elif opt.startswith("r"):
+            out["token_filter_rollout"] = float(opt[1:])
+        else:
             raise ValueError(f"unknown token-filter option '@{opt}'")
-        out["token_filter_rollout"] = float(opt[1:])
     stages = []
     for part in spec.split(","):
         layer, keep = part.split(":")
@@ -248,5 +262,13 @@ def resolve_model_config(
         token_filter_rollout=float(
             _get(raw, "token_filter_rollout",
                  model_cfg.get("token_filter_rollout", 0.0), lookup)
+        ),
+        token_filter_merge=bool(
+            _get(raw, "token_filter_merge",
+                 model_cfg.get("token_filter_merge", False), lookup)
+        ),
+        token_filter_train=bool(
+            _get(raw, "token_filter_train",
+                 model_cfg.get("token_filter_train", False), lookup)
         ),
     )

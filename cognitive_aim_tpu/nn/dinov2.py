@@ -359,11 +359,16 @@ def _layer_qk_weights(lp, cfg: DinoV2Config):
     return wq, bq, wk, bk
 
 
-def _cls_importance(lp, x, cfg: DinoV2Config):
+def _cls_importance(lp, x, cfg: DinoV2Config, return_keys: bool = False):
     """Patch-token importance [B, P]: the CLS row of the NEXT layer's
     attention (EViT-style, arXiv:2506.01519 pattern), averaged over heads.
     Costs one [B, N, D] x [D, D] key projection plus a [B, 1, N] score row —
     ~0.5% of a full forward; the layer then recomputes q/k for the kept set.
+
+    With return_keys=True also returns the full key projection [B, N, D]
+    (f32, heads flattened) — the merge-mode filter reuses it as the token
+    similarity embedding (ToMe, arXiv:2210.09461, uses attention keys for
+    exactly this), so assignment costs no extra projection.
     """
     H, hd = cfg.num_heads, cfg.head_dim
     h = L.layernorm_apply(
@@ -379,10 +384,13 @@ def _cls_importance(lp, x, cfg: DinoV2Config):
         k = k + bk
     B, N, D = k.shape
     q_cls = q_cls.reshape(B, H, hd)
-    k = k.reshape(B, N, H, hd)
-    scores = jnp.einsum("bhd,bnhd->bhn", q_cls, k) * (hd ** -0.5)
+    kh = k.reshape(B, N, H, hd)
+    scores = jnp.einsum("bhd,bnhd->bhn", q_cls, kh) * (hd ** -0.5)
     probs = jax.nn.softmax(scores, axis=-1)
-    return probs.mean(axis=1)[:, 1:]  # patch columns
+    imp = probs.mean(axis=1)[:, 1:]  # patch columns
+    if return_keys:
+        return imp, k
+    return imp
 
 
 def _filter_tokens(x, importance, keep_weights, k_keep: int,
@@ -472,6 +480,120 @@ def _scatter_tokens(x_full, x_filtered, idx):
     return jnp.concatenate([x_filtered[:, :1], patches], axis=1)
 
 
+def _filter_tokens_merge(x, importance, keys, keep_weights, k_keep: int):
+    """Merge-mode filtering (ToMe-style, arXiv:2210.09461): keep the same
+    top-k_keep priority tokens as _filter_tokens, but ABSORB each dropped
+    token into its most similar kept token (cosine similarity over the
+    attention keys already computed for the importance ranking) instead of
+    freezing it at its filter-point value.
+
+    Two differences from drop mode, both aimed at prediction parity:
+      1. a dropped token's evidence stays live — its features are averaged
+         into a kept representative that keeps evolving through the
+         remaining blocks (drop mode loses everything but one fused
+         context token);
+      2. at un-filter time the dropped POSITION reads its representative's
+         FINAL-layer feature (see the rep map) instead of a stale early-
+         layer one — the downstream focal/ambient streams never see frozen
+         features.
+
+    The assignment is a [P-k, k] cosine-argmax in f32 plus a one-hot
+    einsum (MXU-friendly; ~0.5 GFLOP/image at 518² — <0.2% of a forward).
+
+    Returns (x_filtered [B, 1+k, D], idx [B, k] kept patch indices,
+    rep [B, P] slot map: patch position -> row of the filtered patch block
+    whose final feature should stand for it, sizes [B, k] merged-group
+    sizes for multi-stage size-weighted re-merging)."""
+    B, P = importance.shape
+    prio = importance
+    if keep_weights is not None:
+        prio = prio + 10.0 * (keep_weights.astype(jnp.float32) - 1.0)
+    _, idx = jax.lax.top_k(prio, k_keep)
+    idx = jnp.sort(idx, axis=1)
+    n_drop = P - k_keep
+    patches = x[:, 1:]
+    kept = jnp.take_along_axis(patches, idx[..., None], axis=1)
+    if n_drop == 0:
+        rep = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
+        return (jnp.concatenate([x[:, :1], kept], axis=1), idx, rep,
+                jnp.ones((B, k_keep), jnp.float32))
+    _, idx_drop = jax.lax.top_k(-prio, n_drop)
+    idx_drop = jnp.sort(idx_drop, axis=1)
+    dropped = jnp.take_along_axis(patches, idx_drop[..., None], axis=1)
+    kp = keys[:, 1:]  # patch rows of the key projection
+    kn = kp * jax.lax.rsqrt(
+        jnp.sum(kp * kp, axis=-1, keepdims=True) + 1e-12)
+    k_kept = jnp.take_along_axis(kn, idx[..., None], axis=1)
+    k_drop = jnp.take_along_axis(kn, idx_drop[..., None], axis=1)
+    sim = jnp.einsum("bjd,bkd->bjk", k_drop, k_kept)
+    assign = jnp.argmax(sim, axis=-1).astype(jnp.int32)  # [B, P-k]
+    onehot = jax.nn.one_hot(assign, k_keep, dtype=jnp.float32)
+    absorbed = jnp.einsum("bjk,bjd->bkd", onehot,
+                          dropped.astype(jnp.float32))
+    cnt = onehot.sum(axis=1)  # [B, k]
+    merged = ((kept.astype(jnp.float32) + absorbed)
+              / (1.0 + cnt)[..., None]).astype(x.dtype)
+    brow = jnp.arange(B)[:, None]
+    rep = jnp.zeros((B, P), jnp.int32)
+    rep = rep.at[brow, idx].set(
+        jnp.broadcast_to(jnp.arange(k_keep, dtype=jnp.int32)[None],
+                         (B, k_keep)))
+    rep = rep.at[brow, idx_drop].set(assign)
+    return (jnp.concatenate([x[:, :1], merged], axis=1), idx, rep,
+            1.0 + cnt)
+
+
+def _refilter_tokens_merge(x, imp_all, keys, k_prev: int, keep_w_gathered,
+                           k_keep: int, sizes):
+    """Progressive merge stage 2+: the stream is [B, 1 + k_prev, D] with
+    per-token merged-group sizes [B, k_prev]. Keep the k_keep highest-
+    priority slots (same formula as _refilter_tokens) and absorb each
+    dropped SLOT into its most similar kept slot, size-weighted so a slot
+    already standing for m positions counts m-fold in the new average.
+
+    Returns (x_filtered [B, 1+k_keep, D], idx_local [B, k_keep] indices
+    into the previous kept set, slot_map [B, k_prev] old slot -> new slot,
+    new sizes [B, k_keep])."""
+    B = imp_all.shape[0]
+    imp_p = imp_all[:, :k_prev]
+    prio = imp_p
+    if keep_w_gathered is not None:
+        prio = prio + 10.0 * (keep_w_gathered.astype(jnp.float32) - 1.0)
+    _, idx_local = jax.lax.top_k(prio, k_keep)
+    idx_local = jnp.sort(idx_local, axis=1)
+    n_drop = k_prev - k_keep
+    slots = x[:, 1:1 + k_prev]
+    kept = jnp.take_along_axis(slots, idx_local[..., None], axis=1)
+    _, drop_local = jax.lax.top_k(-prio, n_drop)
+    drop_local = jnp.sort(drop_local, axis=1)
+    dropped = jnp.take_along_axis(slots, drop_local[..., None], axis=1)
+    kp = keys[:, 1:1 + k_prev]
+    kn = kp * jax.lax.rsqrt(
+        jnp.sum(kp * kp, axis=-1, keepdims=True) + 1e-12)
+    k_kept = jnp.take_along_axis(kn, idx_local[..., None], axis=1)
+    k_drop = jnp.take_along_axis(kn, drop_local[..., None], axis=1)
+    sim = jnp.einsum("bjd,bkd->bjk", k_drop, k_kept)
+    assign = jnp.argmax(sim, axis=-1).astype(jnp.int32)
+    onehot = jax.nn.one_hot(assign, k_keep, dtype=jnp.float32)
+    s_kept = jnp.take_along_axis(sizes, idx_local, axis=1)
+    s_drop = jnp.take_along_axis(sizes, drop_local, axis=1)
+    absorbed = jnp.einsum("bjk,bjd->bkd", onehot,
+                          dropped.astype(jnp.float32)
+                          * s_drop[..., None])
+    s_add = jnp.einsum("bjk,bj->bk", onehot, s_drop)
+    new_sizes = s_kept + s_add
+    merged = ((kept.astype(jnp.float32) * s_kept[..., None] + absorbed)
+              / new_sizes[..., None]).astype(x.dtype)
+    brow = jnp.arange(B)[:, None]
+    slot_map = jnp.zeros((B, k_prev), jnp.int32)
+    slot_map = slot_map.at[brow, idx_local].set(
+        jnp.broadcast_to(jnp.arange(k_keep, dtype=jnp.int32)[None],
+                         (B, k_keep)))
+    slot_map = slot_map.at[brow, drop_local].set(assign)
+    return (jnp.concatenate([x[:, :1], merged], axis=1), idx_local,
+            slot_map, new_sizes)
+
+
 def _embed(params, images, cfg: DinoV2Config, compute_dtype):
     """Patchify + patch embedding + CLS + interpolated position embedding.
 
@@ -512,6 +634,7 @@ def apply(
     filter_fuse: bool = True,
     filter_schedule=(),
     filter_rollout: float = 0.0,
+    filter_merge: bool = False,
     keep_weights=None,
 ) -> jnp.ndarray:
     """Forward pass.
@@ -539,6 +662,13 @@ def apply(
         accumulated importance from earlier stages into the fresh ranking
         (rollout-style multi-layer evidence instead of a single layer's
         CLS row): rank by (1-r)*fresh + r*carried. 0 = fresh only.
+      filter_merge: merge mode ('@m' in CLI specs): same keep set, but
+        dropped tokens are ABSORBED into their most-similar kept token
+        (ToMe-style) instead of frozen, and at un-filter time each dropped
+        position reads its representative's final-layer feature. Costs
+        ~0.2% throughput over drop mode; substantially tighter prediction
+        parity because no stale features ever reach the focal/ambient
+        streams (docs/PERF.md merge-vs-drop δ table).
     Returns:
       last_hidden_state [B, 1 + N, D] after the final layernorm, matching
       Dinov2Model.forward().last_hidden_state (ref:src/model.py:973-975 reads
@@ -616,6 +746,8 @@ def apply(
         x_full = None
         idx_global = None
         imp_carry = None  # surviving tokens' accumulated importance
+        rep = None   # merge mode: [B, P] position -> current slot
+        sizes = None  # merge mode: [B, k] merged-group sizes
         r = float(filter_rollout)
         prev = 0
         for (boundary, _), k_i in zip(schedule, ks):
@@ -623,21 +755,26 @@ def apply(
             x, _ = jax.lax.scan(body, x, seg, unroll=unroll)
             prev = boundary
             next_lp = jax.tree.map(lambda a: a[boundary], layers)
-            imp = _cls_importance(next_lp, x, cfg)
+            if filter_merge:
+                imp, keys = _cls_importance(next_lp, x, cfg,
+                                            return_keys=True)
+            else:
+                imp = _cls_importance(next_lp, x, cfg)
             if idx_global is None:
-                x_full = x
-                x, idx_global = _filter_tokens(
-                    x, imp, keep_weights, k_i,
-                    fuse=filter_fuse and k_i < P,
-                )
+                if filter_merge:
+                    x, idx_global, rep, sizes = _filter_tokens_merge(
+                        x, imp, keys, keep_weights, k_i)
+                else:
+                    x_full = x
+                    x, idx_global = _filter_tokens(
+                        x, imp, keep_weights, k_i,
+                        fuse=filter_fuse and k_i < P,
+                    )
                 imp_carry = jnp.take_along_axis(imp, idx_global, axis=1)
             else:
                 k_prev = idx_global.shape[1]
                 if k_i >= k_prev:
                     continue  # nothing more to drop at this stage
-                # tokens dropped HERE freeze at their current values
-                x_full = _scatter_tokens(x_full.astype(x.dtype), x,
-                                         idx_global)
                 kw = None
                 if keep_weights is not None:
                     kw = jnp.take_along_axis(
@@ -645,16 +782,32 @@ def apply(
                 if r > 0.0:
                     imp_p = (1.0 - r) * imp[:, :k_prev] + r * imp_carry
                     imp = jnp.concatenate([imp_p, imp[:, k_prev:]], axis=1)
-                x, idx_local = _refilter_tokens(
-                    x, imp, k_prev, kw, k_i, fuse=filter_fuse,
-                )
+                if filter_merge:
+                    x, idx_local, slot_map, sizes = _refilter_tokens_merge(
+                        x, imp, keys, k_prev, kw, k_i, sizes)
+                    rep = jnp.take_along_axis(slot_map, rep, axis=1)
+                else:
+                    # tokens dropped HERE freeze at their current values
+                    x_full = _scatter_tokens(x_full.astype(x.dtype), x,
+                                             idx_global)
+                    x, idx_local = _refilter_tokens(
+                        x, imp, k_prev, kw, k_i, fuse=filter_fuse,
+                    )
                 imp_carry = jnp.take_along_axis(
                     imp[:, :k_prev], idx_local, axis=1)
                 idx_global = jnp.take_along_axis(
                     idx_global, idx_local, axis=1)
         tail = jax.tree.map(lambda a: a[prev:], layers)
         x, _ = jax.lax.scan(body, x, tail, unroll=unroll)
-        x = _scatter_tokens(x_full.astype(x.dtype), x, idx_global)
+        if filter_merge:
+            # unmerge: every patch position reads its representative's
+            # FINAL-layer feature — no position ever carries a stale value
+            k_last = idx_global.shape[1]
+            patches = jnp.take_along_axis(
+                x[:, 1:1 + k_last], rep[..., None], axis=1)
+            x = jnp.concatenate([x[:, :1], patches], axis=1)
+        else:
+            x = _scatter_tokens(x_full.astype(x.dtype), x, idx_global)
     else:
         x, _ = jax.lax.scan(body, x, layers, unroll=unroll)
     x = L.layernorm_apply(

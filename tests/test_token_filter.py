@@ -326,3 +326,175 @@ def test_config_resolver_reads_token_filter():
     arch2 = resolve_model_config({})
     assert arch2.token_filter_layer == 0
     assert arch2.token_filter_keep == 1.0
+
+
+# ---------------------------------------------------------------- merge mode
+
+
+def test_merge_keep_all_is_exact(setup):
+    params, images = setup
+    ref = dinov2.apply(params, images, CFG)
+    out = dinov2.apply(params, images, CFG, filter_layer=2,
+                       filter_keep=0.999, filter_merge=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_merge_unit_math(setup):
+    """_filter_tokens_merge vs a numpy reference: assignment by cosine over
+    keys, group-mean merging, rep map, size conservation."""
+    params, images = setup
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp, keys = dinov2._cls_importance(first, x, CFG, return_keys=True)
+    assert keys.shape == (2, 17, 64)
+    xf, idx, rep, sizes = dinov2._filter_tokens_merge(x, imp, keys, None, 6)
+    assert xf.shape == (2, 7, 64)
+    assert rep.shape == (2, 16)
+    x_np, imp_np, keys_np = map(np.asarray, (x, imp, keys))
+    idx_np, rep_np, sizes_np = map(np.asarray, (idx, rep, sizes))
+    for b in range(2):
+        kept = sorted(np.argsort(-imp_np[b])[:6].tolist())
+        assert kept == idx_np[b].tolist()
+        dropped = sorted(set(range(16)) - set(kept))
+        kn = keys_np[b, 1:]
+        kn = kn / np.linalg.norm(kn, axis=-1, keepdims=True)
+        sim = kn[dropped] @ kn[kept].T
+        assign = sim.argmax(-1)
+        groups = [[x_np[b, 1 + p]] for p in kept]
+        for j, p in enumerate(dropped):
+            groups[assign[j]].append(x_np[b, 1 + p])
+            assert rep_np[b, p] == assign[j]
+        for i, p in enumerate(kept):
+            assert rep_np[b, p] == i
+            np.testing.assert_allclose(
+                np.asarray(xf)[b, 1 + i], np.mean(groups[i], axis=0),
+                atol=1e-5)
+            assert sizes_np[b, i] == len(groups[i])
+    assert np.all(sizes_np.sum(axis=1) == 16)  # every token accounted for
+
+
+def test_merge_forward_no_stale_positions(setup):
+    """End-to-end merge forward: every dropped position carries its
+    representative's FINAL feature, so the patch block has at most k
+    distinct rows — and none of them equals a frozen early-layer value."""
+    params, images = setup
+    out = dinov2.apply(params, images, CFG, filter_layer=2,
+                       filter_keep=0.25, filter_merge=True)
+    assert out.shape == (2, 17, 64)
+    assert np.all(np.isfinite(np.asarray(out)))
+    for b in range(2):
+        uniq = np.unique(np.asarray(out)[b, 1:], axis=0)
+        assert uniq.shape[0] <= 4  # k = round(.25 * 16)
+    # CLS carries full depth: closer to exact than the merged patches are
+    ref = dinov2.apply(params, images, CFG)
+    cls_err = np.abs(np.asarray(out[:, 0]) - np.asarray(ref[:, 0])).mean()
+    patch_err = np.abs(np.asarray(out[:, 1:]) - np.asarray(ref[:, 1:])).mean()
+    assert cls_err < patch_err
+
+
+def test_merge_guided_region_kept(setup):
+    """Merge mode uses the same priority formula: guided tokens stay."""
+    params, images = setup
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp, keys = dinov2._cls_importance(first, x, CFG, return_keys=True)
+    kw = np.ones((2, 16), np.float32)
+    kw[:, 5:9] = 5.0
+    _, idx, rep, _ = dinov2._filter_tokens_merge(
+        x, imp, keys, jnp.asarray(kw), 6)
+    idx = np.asarray(idx)
+    for b in range(2):
+        assert {5, 6, 7, 8}.issubset(set(idx[b].tolist()))
+
+
+def test_progressive_merge_schedule(setup):
+    """Two-stage merge: shapes hold, rep composition stays in range, and
+    sizes still sum to P after size-weighted re-merging."""
+    params, images = setup
+    out = dinov2.apply(params, images, CFG,
+                       filter_schedule=((1, 0.6), (3, 0.25)),
+                       filter_merge=True)
+    assert out.shape == (2, 17, 64)
+    assert np.all(np.isfinite(np.asarray(out)))
+    for b in range(2):
+        uniq = np.unique(np.asarray(out)[b, 1:], axis=0)
+        assert uniq.shape[0] <= 4
+    # unit: compose the two stages by hand and check size conservation
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp, keys = dinov2._cls_importance(first, x, CFG, return_keys=True)
+    xf, idx1, rep1, sizes1 = dinov2._filter_tokens_merge(x, imp, keys,
+                                                         None, 10)
+    imp2, keys2 = dinov2._cls_importance(first, xf, CFG, return_keys=True)
+    xf2, idx_l, smap, sizes2 = dinov2._refilter_tokens_merge(
+        xf, imp2, keys2, 10, None, 4, sizes1)
+    assert xf2.shape == (2, 5, 64)
+    rep = jnp.take_along_axis(smap, rep1, axis=1)
+    assert np.asarray(rep).max() < 4 and np.asarray(rep).min() >= 0
+    np.testing.assert_allclose(np.asarray(sizes2).sum(axis=1),
+                               np.full(2, 16.0), atol=1e-4)
+    # size-weighted merge: each new slot's size counts every original token
+    rep_np = np.asarray(rep)
+    for b in range(2):
+        counts = np.bincount(rep_np[b], minlength=4).astype(np.float64)
+        np.testing.assert_allclose(np.asarray(sizes2)[b], counts, atol=1e-4)
+
+
+def test_parse_token_filter_merge():
+    from cognitive_aim_tpu.models.config import parse_token_filter
+
+    assert parse_token_filter("2:0.25@m") == {
+        "token_filter_layer": 2, "token_filter_keep": 0.25,
+        "token_filter_merge": True}
+    assert parse_token_filter("1:0.5,3:0.3@m@r0.5") == {
+        "token_filter_schedule": ((1, 0.5), (3, 0.3)),
+        "token_filter_merge": True, "token_filter_rollout": 0.5}
+    with pytest.raises(ValueError):
+        parse_token_filter("2:0.25@z")
+
+
+def test_model_level_merge_and_train_filter():
+    """@m threads through the model config; token_filter_train keeps the
+    filter active under train=True (filter-aware finetuning) with finite
+    gradients — without it, training silently bypasses the filter."""
+    from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+    from cognitive_aim_tpu.models.config import ModelArchConfig
+    from cognitive_aim_tpu.core.rng import NoiseMode
+
+    arch = ModelArchConfig(
+        num_iterations=2, image_size=56, token_filter_layer=2,
+        token_filter_keep=0.5, token_filter_merge=True,
+        token_filter_train=True,
+    )
+    model = CognitiveAimModel(arch, vit_cfg=CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    exif = {
+        "camera_idx": jnp.zeros((2,), jnp.int32),
+        "focal_length": jnp.full((2,), 50.0),
+        "aperture": jnp.full((2,), 2.8),
+        "iso": jnp.full((2,), 100.0),
+    }
+
+    def loss(p):
+        out = model.apply(p, images, exif, guidance=jnp.array([0, 3]),
+                          rng=jax.random.PRNGKey(2), train=True,
+                          noise_mode=NoiseMode.ZEROS)
+        return jnp.mean(out.depth)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in leaves)
+    assert total > 0.0
+    # filtered-train forward differs from the exact-train forward (the
+    # filter really was active under train=True)
+    arch_off = ModelArchConfig(num_iterations=2, image_size=56)
+    model_off = CognitiveAimModel(arch_off, vit_cfg=CFG)
+    out_f = model.apply(params, images, exif, guidance=jnp.array([0, 3]),
+                        rng=jax.random.PRNGKey(2), train=True,
+                        noise_mode=NoiseMode.ZEROS)
+    out_e = model_off.apply(params, images, exif, guidance=jnp.array([0, 3]),
+                            rng=jax.random.PRNGKey(2), train=True,
+                            noise_mode=NoiseMode.ZEROS)
+    assert not np.allclose(np.asarray(out_f.depth), np.asarray(out_e.depth))
