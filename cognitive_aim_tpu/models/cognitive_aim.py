@@ -225,6 +225,7 @@ class CognitiveAimModel:
                 filter_schedule=a.token_filter_schedule,
                 filter_rollout=a.token_filter_rollout,
                 filter_merge=a.token_filter_merge,
+                filter_delta_correct=a.token_filter_delta_correct,
             )
             if guidance is not None:
                 B = images.shape[0]

@@ -71,6 +71,10 @@ class ModelArchConfig:
     # positions read their representative's final-layer feature at
     # un-filter time. Tighter prediction parity at ~equal throughput.
     token_filter_merge: bool = False
+    # Delta-corrected drop mode ('@d'): drop-mode backbone, but dropped
+    # positions get their nearest kept neighbour's accumulated residual
+    # update added at un-filter time. Single-stage only.
+    token_filter_delta_correct: bool = False
     # Keep the filter active during TRAINING too (filter-aware finetuning,
     # the EViT deployment recipe). Off by default: training stays exact.
     token_filter_train: bool = False
@@ -131,6 +135,8 @@ def parse_token_filter(spec: str) -> dict:
     '...@rX'                    -> with importance rollout weight X
     '...@m'                     -> merge mode (ToMe-style absorb instead
                                    of drop; options compose, e.g. '@m@r0.5')
+    '...@d'                     -> delta-corrected drop (residual-update
+                                   transplant at un-filter; single-stage)
     Single parse point for api.py / bench.py / scripts/policy_delta.py."""
     if not spec:
         return {}
@@ -140,6 +146,8 @@ def parse_token_filter(spec: str) -> dict:
     for opt in parts[1:]:
         if opt == "m":
             out["token_filter_merge"] = True
+        elif opt == "d":
+            out["token_filter_delta_correct"] = True
         elif opt.startswith("r"):
             out["token_filter_rollout"] = float(opt[1:])
         else:
@@ -266,6 +274,10 @@ def resolve_model_config(
         token_filter_merge=bool(
             _get(raw, "token_filter_merge",
                  model_cfg.get("token_filter_merge", False), lookup)
+        ),
+        token_filter_delta_correct=bool(
+            _get(raw, "token_filter_delta_correct",
+                 model_cfg.get("token_filter_delta_correct", False), lookup)
         ),
         token_filter_train=bool(
             _get(raw, "token_filter_train",

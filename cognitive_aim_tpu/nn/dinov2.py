@@ -543,6 +543,28 @@ def _filter_tokens_merge(x, importance, keys, keep_weights, k_keep: int):
             1.0 + cnt)
 
 
+def _assign_dropped(importance, keys, keep_weights, idx, k_keep: int):
+    """Delta-correction helper: for the SAME kept set as _filter_tokens
+    (idx, from the same priority), return (idx_drop [B, P-k] sorted dropped
+    patch indices, assign [B, P-k] index into the kept set of each dropped
+    token's most-similar kept token by key cosine). Used by '@d' mode to
+    transplant each kept representative's accumulated residual-stream
+    update onto its dropped neighbours at un-filter time."""
+    B, P = importance.shape
+    prio = importance
+    if keep_weights is not None:
+        prio = prio + 10.0 * (keep_weights.astype(jnp.float32) - 1.0)
+    _, idx_drop = jax.lax.top_k(-prio, P - k_keep)
+    idx_drop = jnp.sort(idx_drop, axis=1)
+    kp = keys[:, 1:]
+    kn = kp * jax.lax.rsqrt(
+        jnp.sum(kp * kp, axis=-1, keepdims=True) + 1e-12)
+    k_kept = jnp.take_along_axis(kn, idx[..., None], axis=1)
+    k_drop = jnp.take_along_axis(kn, idx_drop[..., None], axis=1)
+    sim = jnp.einsum("bjd,bkd->bjk", k_drop, k_kept)
+    return idx_drop, jnp.argmax(sim, axis=-1).astype(jnp.int32)
+
+
 def _refilter_tokens_merge(x, imp_all, keys, k_prev: int, keep_w_gathered,
                            k_keep: int, sizes):
     """Progressive merge stage 2+: the stream is [B, 1 + k_prev, D] with
@@ -635,6 +657,7 @@ def apply(
     filter_schedule=(),
     filter_rollout: float = 0.0,
     filter_merge: bool = False,
+    filter_delta_correct: bool = False,
     keep_weights=None,
 ) -> jnp.ndarray:
     """Forward pass.
@@ -662,6 +685,13 @@ def apply(
         accumulated importance from earlier stages into the fresh ranking
         (rollout-style multi-layer evidence instead of a single layer's
         CLS row): rank by (1-r)*fresh + r*carried. 0 = fresh only.
+      filter_delta_correct: delta-corrected drop mode ('@d'): the backbone
+        runs EXACTLY like drop mode (kept tokens unpolluted, identical
+        throughput), but at un-filter time each dropped position reads its
+        filter-point feature PLUS its most-similar kept token's accumulated
+        residual-stream update (final - filter-point). Strictly refines
+        drop-mode reconstruction when nearby tokens' updates correlate —
+        which they do in a ViT's residual stream. Single-stage only.
       filter_merge: merge mode ('@m' in CLI specs): same keep set, but
         dropped tokens are ABSORBED into their most-similar kept token
         (ToMe-style) instead of frozen, and at un-filter time each dropped
@@ -742,12 +772,17 @@ def apply(
         if any(b >= a for a, b in zip(kf, kf[1:])):
             raise ValueError(f"filter schedule keep fractions must be "
                              f"strictly decreasing: {schedule}")
+        if filter_delta_correct and (filter_merge or len(schedule) > 1):
+            raise ValueError(
+                "filter_delta_correct ('@d') is single-stage drop-mode "
+                "only (not composable with '@m' or progressive schedules)")
         ks = [max(1, int(round(k * P))) for k in kf]
         x_full = None
         idx_global = None
         imp_carry = None  # surviving tokens' accumulated importance
         rep = None   # merge mode: [B, P] position -> current slot
         sizes = None  # merge mode: [B, k] merged-group sizes
+        dc = None    # @d mode: (idx_drop, assign) for the correction
         r = float(filter_rollout)
         prev = 0
         for (boundary, _), k_i in zip(schedule, ks):
@@ -755,7 +790,7 @@ def apply(
             x, _ = jax.lax.scan(body, x, seg, unroll=unroll)
             prev = boundary
             next_lp = jax.tree.map(lambda a: a[boundary], layers)
-            if filter_merge:
+            if filter_merge or filter_delta_correct:
                 imp, keys = _cls_importance(next_lp, x, cfg,
                                             return_keys=True)
             else:
@@ -770,6 +805,9 @@ def apply(
                         x, imp, keep_weights, k_i,
                         fuse=filter_fuse and k_i < P,
                     )
+                    if filter_delta_correct and k_i < P:
+                        dc = _assign_dropped(imp, keys, keep_weights,
+                                             idx_global, k_i)
                 imp_carry = jnp.take_along_axis(imp, idx_global, axis=1)
             else:
                 k_prev = idx_global.shape[1]
@@ -805,6 +843,23 @@ def apply(
             k_last = idx_global.shape[1]
             patches = jnp.take_along_axis(
                 x[:, 1:1 + k_last], rep[..., None], axis=1)
+            x = jnp.concatenate([x[:, :1], patches], axis=1)
+        elif dc is not None:
+            # @d: dropped position j = its own filter-point feature + its
+            # nearest kept neighbour's accumulated update over the
+            # remaining blocks (residual-stream transplant)
+            idx_drop, assign = dc
+            k_last = idx_global.shape[1]
+            fp = x_full.astype(x.dtype)[:, 1:]
+            final_kept = x[:, 1:1 + k_last]
+            delta = final_kept - jnp.take_along_axis(
+                fp, idx_global[..., None], axis=1)
+            corrected = jnp.take_along_axis(
+                fp, idx_drop[..., None], axis=1) + jnp.take_along_axis(
+                delta, assign[..., None], axis=1)
+            brow = jnp.arange(x.shape[0])[:, None]
+            patches = fp.at[brow, idx_global].set(final_kept)
+            patches = patches.at[brow, idx_drop].set(corrected)
             x = jnp.concatenate([x[:, :1], patches], axis=1)
         else:
             x = _scatter_tokens(x_full.astype(x.dtype), x, idx_global)

@@ -161,8 +161,15 @@ def main():
     for spec, m in variants.items():
         fwds[spec] = make_fwd(m)
 
-    def measure(params_f32, params_int8):
-        """-> {spec: {instruction: absrel}} vs the f32 path.
+    def measure(params_f32, params_int8, gt=None):
+        """-> ({spec: {instruction: absrel}} vs the f32 path,
+               {name incl 'f32': {instruction: absrel vs ground truth}}).
+
+        The first table is strict PREDICTION parity (how far the fast
+        path's depths drift from the exact path's, the repo's headline δ);
+        the second is METRIC parity (each path's AbsRel against the
+        synthetic law's ground truth — the accuracy the user observes,
+        where redistribution of error does not count as damage).
 
         All dispatches are queued asynchronously and each graph's outputs
         are fetched ONCE (the relay's host fetch is the sync point at
@@ -187,7 +194,17 @@ def main():
                 a, b = depths["f32"][gname], depths[spec][gname]
                 table[spec][gname] = float(np.mean(
                     np.abs(b - a) / np.maximum(np.abs(a), 1e-6)))
-        return table
+        gt_table = None
+        if gt is not None:
+            gt = np.asarray(gt, np.float64)
+            gt_table = {}
+            for name in depths:
+                gt_table[name] = {
+                    g: float(np.mean(np.abs(depths[name][g] - gt)
+                                     / np.maximum(np.abs(gt), 1e-6)))
+                    for g in G.INSTRUCTIONS
+                }
+        return table, gt_table
 
     from cognitive_aim_tpu.api import flatten_tree, unflatten_npz
 
@@ -220,7 +237,9 @@ def main():
             np.savez(ckpt, **flatten_tree(trained))
         p_f32 = jax.device_put(trained)
         p_int8 = model.prepare_params(trained)
-        table = measure(p_f32, p_int8)
+        # ground truth at the EVAL resolution: same law on the eval images
+        gt = LAWS[law](eval01)
+        table, gt_table = measure(p_f32, p_int8, gt)
         del p_f32, p_int8, trained
         gc.collect()
         rss_gb = 0.0
@@ -233,9 +252,13 @@ def main():
               flush=True)
         for spec, per_instr in table.items():
             worst = max(per_instr.values())
+            gt_gap = max(abs(gt_table[spec][g] - gt_table["f32"][g])
+                         for g in per_instr)
             print(f"  {spec:>24s}: worst-instruction AbsRel "
-                  f"{worst * 100:.3f}%", flush=True)
+                  f"{worst * 100:.3f}%  (gt-metric gap {gt_gap * 100:.3f}%)",
+                  flush=True)
         results.append({"seed": seed, "law": law, "table": table,
+                        "absrel_gt": gt_table,
                         "train_s": round(time.perf_counter() - t0, 1)})
         with open(args.out, "w") as f:
             json.dump({"runs": results}, f, indent=1)
