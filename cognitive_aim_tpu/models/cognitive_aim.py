@@ -226,6 +226,7 @@ class CognitiveAimModel:
                 filter_rollout=a.token_filter_rollout,
                 filter_merge=a.token_filter_merge,
                 filter_delta_correct=a.token_filter_delta_correct,
+                filter_strat_stride=a.token_filter_strat_stride,
             )
             if guidance is not None:
                 B = images.shape[0]

@@ -75,6 +75,10 @@ class ModelArchConfig:
     # positions get their nearest kept neighbour's accumulated residual
     # update added at un-filter time. Single-stage only.
     token_filter_delta_correct: bool = False
+    # Stratified keep ('@sN'): reserve an (N,N)-strided spatial grid of
+    # tokens (priority above background, below guided tiers) so the kept
+    # set stays a spatially unbiased sample. 0 = off.
+    token_filter_strat_stride: int = 0
     # Keep the filter active during TRAINING too (filter-aware finetuning,
     # the EViT deployment recipe). Off by default: training stays exact.
     token_filter_train: bool = False
@@ -137,6 +141,8 @@ def parse_token_filter(spec: str) -> dict:
                                    of drop; options compose, e.g. '@m@r0.5')
     '...@d'                     -> delta-corrected drop (residual-update
                                    transplant at un-filter; single-stage)
+    '...@sN'                    -> stratified keep: reserve an (N,N)-
+                                   strided spatial grid in the kept set
     Single parse point for api.py / bench.py / scripts/policy_delta.py."""
     if not spec:
         return {}
@@ -148,6 +154,8 @@ def parse_token_filter(spec: str) -> dict:
             out["token_filter_merge"] = True
         elif opt == "d":
             out["token_filter_delta_correct"] = True
+        elif opt.startswith("s"):
+            out["token_filter_strat_stride"] = int(opt[1:])
         elif opt.startswith("r"):
             out["token_filter_rollout"] = float(opt[1:])
         else:
@@ -278,6 +286,10 @@ def resolve_model_config(
         token_filter_delta_correct=bool(
             _get(raw, "token_filter_delta_correct",
                  model_cfg.get("token_filter_delta_correct", False), lookup)
+        ),
+        token_filter_strat_stride=int(
+            _get(raw, "token_filter_strat_stride",
+                 model_cfg.get("token_filter_strat_stride", 0), lookup)
         ),
         token_filter_train=bool(
             _get(raw, "token_filter_train",

@@ -658,6 +658,7 @@ def apply(
     filter_rollout: float = 0.0,
     filter_merge: bool = False,
     filter_delta_correct: bool = False,
+    filter_strat_stride: int = 0,
     keep_weights=None,
 ) -> jnp.ndarray:
     """Forward pass.
@@ -685,6 +686,14 @@ def apply(
         accumulated importance from earlier stages into the fresh ranking
         (rollout-style multi-layer evidence instead of a single layer's
         CLS row): rank by (1-r)*fresh + r*carried. 0 = fresh only.
+      filter_strat_stride: stratified keep ('@sN'): every (N,N)-strided
+        grid position gets a priority bonus that sits ABOVE plain
+        background but BELOW every guided tier, so ~1/N² of the patch
+        tokens are a spatially uniform sample regardless of attention.
+        Keeps the kept set an (approximately) unbiased spatial sample of
+        the image — aggregate/peripheral evidence (anything the ambient
+        stream or a mean-like statistic needs) survives the filter even
+        when CLS attention ignores it. 0 = off.
       filter_delta_correct: delta-corrected drop mode ('@d'): the backbone
         runs EXACTLY like drop mode (kept tokens unpolluted, identical
         throughput), but at un-filter time each dropped position reads its
@@ -776,6 +785,21 @@ def apply(
             raise ValueError(
                 "filter_delta_correct ('@d') is single-stage drop-mode "
                 "only (not composable with '@m' or progressive schedules)")
+        if filter_strat_stride > 1:
+            # static stratified-sample bonus: +0.25 on the keep-weight
+            # scale = +2.5 priority, above background (0) and below the
+            # lowest guided tier (+5)
+            import numpy as _onp
+
+            p = cfg.patch_size
+            gh, gw = images.shape[1] // p, images.shape[2] // p
+            m = _onp.zeros((gh, gw), _onp.float32)
+            off = filter_strat_stride // 2
+            m[off::filter_strat_stride, off::filter_strat_stride] = 1.0
+            bonus = jnp.asarray(0.25 * m.reshape(-1))[None]
+            base = keep_weights if keep_weights is not None else 1.0
+            keep_weights = jnp.broadcast_to(
+                base + bonus, (x.shape[0], P)).astype(jnp.float32)
         ks = [max(1, int(round(k * P))) for k in kf]
         x_full = None
         idx_global = None

@@ -607,3 +607,57 @@ def test_model_level_delta_correct():
                       rng=jax.random.PRNGKey(2))
     assert out.depth.shape == (2, 1)
     assert np.all(np.isfinite(np.asarray(out.depth)))
+
+
+# ------------------------------------------------------- stratified keep
+
+
+def test_stratified_grid_tokens_kept(setup):
+    """@s2 on the 4x4 grid reserves the (2,2)-strided positions (offset 1):
+    patch indices {5, 7, 13, 15}; with keep=0.5 (k=8) and no guidance,
+    those 4 must all be in the kept set regardless of attention."""
+    params, images = setup
+    out = dinov2.apply(params, images, CFG, filter_layer=2, filter_keep=0.5,
+                       filter_strat_stride=2, filter_fuse=False)
+    assert out.shape == (2, 17, 64)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # unit check through the same machinery: bonus must put grid tokens on top
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp = dinov2._cls_importance(first, x, CFG)
+    m = np.zeros((4, 4), np.float32)
+    m[1::2, 1::2] = 1.0
+    kw = jnp.asarray(1.0 + 0.25 * m.reshape(-1))[None]
+    kw = jnp.broadcast_to(kw, (2, 16))
+    _, idx = dinov2._filter_tokens(x, imp, kw, 8)
+    for b in range(2):
+        assert {5, 7, 13, 15}.issubset(set(np.asarray(idx)[b].tolist()))
+
+
+def test_stratified_below_guided_tiers(setup):
+    """Guided tokens (weight 5.0) still outrank stratified ones when the
+    budget is too small for both."""
+    params, images = setup
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp = dinov2._cls_importance(first, x, CFG)
+    kw = np.ones((2, 16), np.float32)
+    kw[:, 0:4] = 5.0          # guided region: tokens 0-3
+    m = np.zeros(16, np.float32)
+    m[[5, 7, 13, 15]] = 1.0   # stratified grid
+    kw = jnp.asarray(kw) + 0.25 * jnp.asarray(m)[None]
+    _, idx = dinov2._filter_tokens(x, imp, kw, 4)
+    for b in range(2):
+        assert set(np.asarray(idx)[b].tolist()) == {0, 1, 2, 3}
+
+
+def test_parse_token_filter_strat():
+    from cognitive_aim_tpu.models.config import parse_token_filter
+
+    assert parse_token_filter("2:0.25@s3") == {
+        "token_filter_layer": 2, "token_filter_keep": 0.25,
+        "token_filter_strat_stride": 3}
+    assert parse_token_filter("2:0.25@s3@d") == {
+        "token_filter_layer": 2, "token_filter_keep": 0.25,
+        "token_filter_strat_stride": 3,
+        "token_filter_delta_correct": True}
