@@ -106,9 +106,11 @@ def main():
         vit = dataclasses.replace(BASE, **kw)
 
     # one model/trainer pair, params swapped per run (keeps compiles warm)
+    tf_kw = parse_token_filter(args.train_filter)
+    if tf_kw:
+        tf_kw["token_filter_train"] = True  # keep the filter ON in train
     arch = ModelArchConfig(num_iterations=6, image_size=args.image_size,
-                           freeze_backbone=False, use_lora=False,
-                           **parse_token_filter(args.train_filter))
+                           freeze_backbone=False, use_lora=False, **tf_kw)
     model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
     trainer = None
     if not args.measure_only:
