@@ -218,8 +218,17 @@ def main():
         if args.train_filter:
             tf_tag = "_tf" + args.train_filter.replace(":", "-") \
                 .replace(",", "_").replace("@", "r")
-        ckpt = os.path.join(args.ckpt_dir,
-                            f"s{seed}_{law}_{args.steps}{tf_tag}.npz")
+        # image size in the name: a 224-trained and a 518-trained cell are
+        # different experiments (trained-at-224 weights evaluated at 518
+        # have ~30% gt AbsRel — the resolution shift, not the filter)
+        ckpt = os.path.join(
+            args.ckpt_dir,
+            f"s{seed}_{law}_{args.steps}_i{args.image_size}{tf_tag}.npz")
+        legacy = os.path.join(args.ckpt_dir,
+                              f"s{seed}_{law}_{args.steps}{tf_tag}.npz")
+        if not os.path.exists(ckpt) and os.path.exists(legacy) \
+                and args.image_size == 224:
+            ckpt = legacy  # round-3 224 grids predate the size suffix
         if os.path.exists(ckpt):
             print(f"  (loading {ckpt})", flush=True)
             trained = unflatten_npz(np.load(ckpt))
