@@ -259,8 +259,11 @@ def main():
                 if line.startswith("VmRSS"):
                     rss_gb = int(line.split()[1]) / 1e6
         sizes = {n: fw._cache_size() for n, fw in fwds.items()}
-        print(f"  [mem] RSS {rss_gb:.1f} GB; jit cache sizes {sizes}",
-              flush=True)
+        la = jax.live_arrays()
+        la_gb = sum(a.nbytes for a in la) / 1e9
+        print(f"  [mem] RSS {rss_gb:.1f} GB; jit cache sizes {sizes}; "
+              f"live arrays {len(la)} ({la_gb:.1f} GB)", flush=True)
+        del la
         for spec, per_instr in table.items():
             worst = max(per_instr.values())
             gt_gap = max(abs(gt_table[spec][g] - gt_table["f32"][g])
