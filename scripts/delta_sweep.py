@@ -74,6 +74,9 @@ def main():
                          "--measure-only, load instead of retraining "
                          "(skips the ~20 min train-step compile)")
     ap.add_argument("--measure-only", action="store_true")
+    ap.add_argument("--eval-on-train", action="store_true",
+                    help="evaluate on the first n_eval TRAIN images of "
+                         "each cell (in-sample parity; see build_eval)")
     args = ap.parse_args()
 
     import jax
@@ -137,14 +140,28 @@ def main():
             va, policy=policy_from_name("int8"), attn_impl="pallas_packed",
             vit_cfg=vit)
 
-    eval01 = synth_images(args.n_eval, eval_size, EVAL_SEED)
-    eval_norm = ((eval01 - np.asarray(IMAGENET_MEAN, np.float32))
-                 / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
     EB = args.eval_batch
-    # upload the (cell-invariant) eval batches ONCE — re-uploading 16 MB
-    # per dispatch through the relay dominated the eval wall time
-    eval_dev = [jnp.asarray(eval_norm[s:s + EB])
-                for s in range(0, args.n_eval, EB)]
+
+    def build_eval(seed):
+        """Eval images + staged device batches. With --eval-on-train the
+        images are the first n_eval TRAINING images of the cell's seed
+        (synth_images streams per image, so the prefix is identical):
+        in-sample parity — the right proxy when the from-scratch synthetic
+        model memorizes rather than generalizes (held-out gt AbsRel ~36%
+        at 518 even at train loss 5e-4, so held-out metric parity would
+        compare two equally-unfit functions)."""
+        e01 = synth_images(args.n_eval, eval_size, seed)
+        norm = ((e01 - np.asarray(IMAGENET_MEAN, np.float32))
+                / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
+        # upload ONCE per eval set — re-uploading 16 MB per dispatch
+        # through the relay dominated the eval wall time
+        dev = [jnp.asarray(norm[s:s + EB])
+               for s in range(0, args.n_eval, EB)]
+        return e01, dev
+
+    eval01, eval_dev = (None, None) if args.eval_on_train \
+        else build_eval(EVAL_SEED)
+    eval_seed_loaded = None
     exif = {
         "camera_idx": jnp.asarray(np.zeros(EB, np.int32)),
         "focal_length": jnp.asarray(np.full(EB, 50.0, np.float32)),
@@ -248,6 +265,9 @@ def main():
             np.savez(ckpt, **flatten_tree(trained))
         p_f32 = jax.device_put(trained)
         p_int8 = model.prepare_params(trained)
+        if args.eval_on_train and eval_seed_loaded != seed:
+            eval01, eval_dev = build_eval(seed)
+            eval_seed_loaded = seed
         # ground truth at the EVAL resolution: same law on the eval images
         gt = LAWS[law](eval01)
         table, gt_table = measure(p_f32, p_int8, gt)
