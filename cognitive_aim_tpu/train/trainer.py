@@ -75,6 +75,17 @@ class TrainConfig:
     # best-val checkpoint selection noisy; "zeros" gives deterministic
     # validation (VERDICT r1 weak #8)
     eval_noise_mode: str = "sample"
+    # Guided training: sample a uniform random guidance instruction per
+    # sample per step (guidance.INSTRUCTIONS order) inside the jitted step.
+    # The reference trains unguided only (ref:train.py:145 calls forward,
+    # never forward_with_guidance); this is the filter-aware-finetuning
+    # companion knob — with token_filter_train on, an unguided train step
+    # sees ONE kept-token distribution while guided eval sees nine
+    # (guidance biases the keep ranking), so the model specializes to the
+    # wrong tokens (measured: docs/PERF.md 518-native grid, s0 ring
+    # 0.95%->3.39% under unguided filter-aware finetuning). Randomizing the
+    # instruction matches the train-time kept-set distribution to eval.
+    guided_training: bool = False
     # the logging.curiosity block the shipped configs declare but the
     # reference never implements (configs/experiment_B.yaml): attention
     # heatmap images + curiosity statistics to TensorBoard at validation
@@ -218,9 +229,17 @@ class Trainer:
         model = self.model
 
         def loss_fn(params, batch, rng, curiosity_on, kl_w):
+            guidance = None
+            if cfg.guided_training:
+                from cognitive_aim_tpu.models import guidance as G
+
+                grng, rng = jax.random.split(rng)
+                guidance = jax.random.randint(
+                    grng, (batch["images"].shape[0],), 0, len(G.INSTRUCTIONS)
+                )
             out = model.apply(
-                params, batch["images"], batch.get("exif"), rng=rng, train=True,
-                curiosity_kl_weight=kl_w,
+                params, batch["images"], batch.get("exif"), guidance=guidance,
+                rng=rng, train=True, curiosity_kl_weight=kl_w,
             )
             pred = out.depth[:, 0]
             target = scalar_depth_target(batch["depths"])

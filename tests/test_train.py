@@ -136,6 +136,30 @@ def test_dp_sharded_step_runs():
     assert np.isfinite(logs["loss"])
 
 
+def test_guided_training_step_with_train_filter():
+    """guided_training samples a random instruction per sample inside the
+    jitted step; combined with token_filter_train the train-time kept set
+    becomes guidance-conditioned (matching guided eval — the round-3
+    unguided filter-aware grid regressed ring cells because train saw one
+    unguided kept set while eval saw nine, docs/PERF.md)."""
+    model, params = tiny_model(
+        token_filter_layer=1, token_filter_keep=0.5, token_filter_train=True,
+    )
+    cfg = TrainConfig(
+        learning_rate=3e-3, epochs=1, batch_size=8, steps_per_epoch=5,
+        freeze_backbone=False, weight_decay=0.0, guided_training=True,
+    )
+    trainer = Trainer(model, params, cfg, output_dir="/tmp/cat_test_guided")
+    batch = synth_batch()
+    losses = [
+        trainer.train_step(batch, jax.random.PRNGKey(i))["loss"]
+        for i in range(6)
+    ]
+    assert all(np.isfinite(l) for l in losses), losses
+    # params must actually move (gradients flow through the guided path)
+    assert losses[-1] != losses[0]
+
+
 def test_frozen_backbone_keeps_backbone_params():
     model, params = tiny_model()
     cfg = TrainConfig(
