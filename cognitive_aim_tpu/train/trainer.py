@@ -132,6 +132,7 @@ class TrainConfig:
             eval_noise_mode=str(
                 raw.get("validation", {}).get("noise_mode", "sample")
             ),
+            guided_training=bool(tr.get("guided_training", False)),
             rich_logging=any(
                 logging_cfg.get("curiosity", {}).get(k)
                 for k in ("log_curiosity_stats", "log_attention_weights",

@@ -48,10 +48,7 @@ def _run_cells_in_subprocesses(args):
     seeds = args.seeds.split(",")
     laws = args.laws.split(",")
     runs = []
-    base = [a for a in sys.argv[1:]
-            if a != "--cell-subprocess"
-            and not a.startswith(("--seeds", "--laws", "--out"))]
-    # strip the values of --seeds/--laws/--out given as separate tokens
+    # forward argv minus the flags this wrapper overrides per cell
     argv, skip = [], False
     for a in sys.argv[1:]:
         if skip:
@@ -64,7 +61,6 @@ def _run_cells_in_subprocesses(args):
                 ("--seeds=", "--laws=", "--out=")):
             continue
         argv.append(a)
-    del base
     for seed, law in itertools.product(seeds, laws):
         cell_out = f"{args.out}.s{seed}_{law}.json"
         cmd = [sys.executable, os.path.abspath(__file__), *argv,

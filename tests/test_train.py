@@ -283,3 +283,6 @@ def test_from_raw_rich_logging_and_noise():
     assert cfg.eval_noise_mode == "zeros"
     cfg2 = TrainConfig.from_raw({})
     assert not cfg2.rich_logging and cfg2.eval_noise_mode == "sample"
+    assert not cfg2.guided_training
+    cfg3 = TrainConfig.from_raw({"training": {"guided_training": True}})
+    assert cfg3.guided_training
