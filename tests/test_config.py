@@ -75,6 +75,22 @@ def test_all_shipped_yamls_resolve():
             assert resolve_num_cameras(raw) == 71
 
 
+def test_fast_tpu_config_resolves_certified_point():
+    """The framework-added fast config must resolve to the round-3
+    certified operating point: 518 eval, 2 focal iterations, token filter
+    2:0.25 with the fused context token (docs/PERF.md certification)."""
+    raw = load("eval_configs/full_cognitive_fast_tpu.yaml")
+    for lookup in ("reference", "nested"):
+        a = resolve_model_config(raw, lookup=lookup)
+        assert a.token_filter_layer == 2
+        assert a.token_filter_keep == 0.25
+        assert a.token_filter_fuse is True
+        assert a.token_filter_active
+        assert a.num_iterations == 2
+        assert a.use_ambient and a.use_focal and a.use_exif
+    assert resolve_image_size(raw) == 518
+
+
 def test_default_module_injection():
     a = resolve_model_config({})
     assert a.use_ambient and a.use_iterative and a.use_exif
