@@ -152,7 +152,14 @@ def scalar_depth_target(depths: jnp.ndarray) -> jnp.ndarray:
 
 class Trainer:
     def __init__(self, model, params, cfg: TrainConfig, mesh=None,
-                 output_dir: str = "./outputs", writer=None):
+                 output_dir: str = "./outputs", writer=None, alt_model=None):
+        """`alt_model`: optional second model variant (same param pytree —
+        e.g. the token filter toggled off) trained on alternating steps.
+        Training a filter ALWAYS-on specializes the weights to filtered
+        features and the exact (unfiltered) forward goes off-distribution —
+        measured: guided always-on filter training blew strict parity up to
+        6.5% (docs/PERF.md round-3). Alternating keeps the weights native
+        to BOTH the exact and the filtered path (sandwich-style training)."""
         self.model = model
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -193,6 +200,9 @@ class Trainer:
         self.params = shard_params(self.mesh, params, cfg.tensor_parallel)
         self.opt_state = self.tx.init(self.params)
         self._step_fn = self._build_step()
+        self._alt_step_fn = (
+            self._build_step(alt_model) if alt_model is not None else None
+        )
         eval_noise = NoiseMode(cfg.eval_noise_mode)
         self._eval_fn = jax.jit(
             lambda p, images, exif, key: self.model.apply(
@@ -225,9 +235,9 @@ class Trainer:
         )
 
     # ------------------------------------------------------------- step ----
-    def _build_step(self):
+    def _build_step(self, model=None):
         cfg = self.cfg
-        model = self.model
+        model = model if model is not None else self.model
 
         def loss_fn(params, batch, rng, curiosity_on, kl_w):
             guidance = None
@@ -291,7 +301,10 @@ class Trainer:
                           self.cfg.beta_end, self.cfg.epochs)(self.epoch),
             jnp.float32,
         )
-        self.params, self.opt_state, logs = self._step_fn(
+        step_fn = self._step_fn
+        if self._alt_step_fn is not None and self._global_step % 2 == 1:
+            step_fn = self._alt_step_fn
+        self.params, self.opt_state, logs = step_fn(
             self.params, self.opt_state, batch, rng, curiosity_on, kl_w
         )
         self._global_step += 1

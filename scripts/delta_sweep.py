@@ -115,6 +115,14 @@ def main():
                          "deployment regime if the filter is on in "
                          "production). Checkpoints are cached under a "
                          "spec-suffixed name.")
+    ap.add_argument("--train-filter-mode", type=str, default="always",
+                    choices=["always", "alternate"],
+                    help="'always' keeps the --train-filter active on every "
+                         "step; 'alternate' interleaves filtered and exact "
+                         "steps (sandwich-style) so the weights stay native "
+                         "to BOTH paths — always-on training specializes to "
+                         "filtered features and the exact path goes "
+                         "off-distribution (measured, docs/PERF.md)")
     ap.add_argument("--train-guided", action="store_true",
                     help="sample a random guidance instruction per sample "
                          "per train step (with --train-filter this matches "
@@ -182,6 +190,13 @@ def main():
     arch = ModelArchConfig(num_iterations=6, image_size=args.image_size,
                            freeze_backbone=False, use_lora=False, **tf_kw)
     model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
+    alt_model = None
+    if tf_kw and args.train_filter_mode == "alternate":
+        alt_arch = ModelArchConfig(num_iterations=6,
+                                   image_size=args.image_size,
+                                   freeze_backbone=False, use_lora=False)
+        alt_model = CognitiveAimModel(alt_arch, attn_impl="pallas_packed",
+                                      vit_cfg=vit)
     trainer = None
     if not args.measure_only:
         tcfg = TrainConfig(epochs=1, batch_size=args.batch,
@@ -189,7 +204,8 @@ def main():
                            freeze_backbone=False,
                            guided_training=args.train_guided)
         trainer = Trainer(model, model.init(jax.random.PRNGKey(0)), tcfg,
-                          output_dir="/tmp/delta_sweep_train")
+                          output_dir="/tmp/delta_sweep_train",
+                          alt_model=alt_model)
     os.makedirs(args.ckpt_dir, exist_ok=True)
 
     # measurement models: f32 exact (the reference answer) + one int8+filter
@@ -303,6 +319,8 @@ def main():
         if args.train_filter:
             tf_tag = "_tf" + args.train_filter.replace(":", "-") \
                 .replace(",", "_").replace("@", "r")
+        if args.train_filter_mode == "alternate" and args.train_filter:
+            tf_tag += "_alt"
         if args.train_guided:
             tf_tag += "_g"
         # image size in the name: a 224-trained and a 518-trained cell are

@@ -160,6 +160,30 @@ def test_guided_training_step_with_train_filter():
     assert losses[-1] != losses[0]
 
 
+def test_alternating_filter_training_step():
+    """alt_model: filtered and exact variants trained on alternating steps
+    (sandwich-style) so the weights stay native to both paths — always-on
+    filter training sends the exact path off-distribution (measured,
+    docs/PERF.md round-3 guided grid)."""
+    f_model, params = tiny_model(
+        token_filter_layer=1, token_filter_keep=0.5, token_filter_train=True,
+    )
+    e_model, _ = tiny_model()
+    cfg = TrainConfig(
+        learning_rate=3e-3, epochs=1, batch_size=8, steps_per_epoch=6,
+        freeze_backbone=False, weight_decay=0.0, guided_training=True,
+    )
+    trainer = Trainer(f_model, params, cfg, output_dir="/tmp/cat_test_alt",
+                      alt_model=e_model)
+    assert trainer._alt_step_fn is not None
+    batch = synth_batch()
+    losses = [
+        trainer.train_step(batch, jax.random.PRNGKey(i))["loss"]
+        for i in range(4)
+    ]
+    assert all(np.isfinite(l) for l in losses), losses
+
+
 def test_frozen_backbone_keeps_backbone_params():
     model, params = tiny_model()
     cfg = TrainConfig(
