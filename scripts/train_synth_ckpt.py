@@ -91,10 +91,14 @@ def run_training(tr, staged, steps, log_every=50):
     kl_w = jnp.asarray(0.1, jnp.float32)
     first = last = None
     t0 = time.perf_counter()
+    alt_fn = getattr(tr, "_alt_step_fn", None)
     for step in range(steps):
         key = jax.random.PRNGKey(step)
-        p, o, lg = tr._step_fn(p, o, staged[step % len(staged)], key, cur_on,
-                               kl_w)
+        # honor the trainer's alternating-variant schedule (sandwich
+        # filter-on/filter-off training) — this loop drives the compiled
+        # steps directly, so it must replicate Trainer.train_step's choice
+        fn = alt_fn if (alt_fn is not None and step % 2 == 1) else tr._step_fn
+        p, o, lg = fn(p, o, staged[step % len(staged)], key, cur_on, kl_w)
         if step == 0 or step == steps - 1 or step % log_every == 0:
             loss = float(lg["loss"])
             if first is None:

@@ -184,6 +184,34 @@ def test_alternating_filter_training_step():
     assert all(np.isfinite(l) for l in losses), losses
 
 
+def test_run_training_honors_alternation_schedule():
+    """scripts/train_synth_ckpt.run_training drives the compiled steps
+    directly (bypassing Trainer.train_step), so it must replicate the
+    alternating-variant schedule itself — a round-3 bug trained an
+    'alternate' cell identical to the always-on one because the loop only
+    ever called _step_fn."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from train_synth_ckpt import run_training
+
+    calls = []
+
+    class FakeTrainer:
+        params, opt_state = {}, {}
+        _step_fn = staticmethod(
+            lambda p, o, b, k, c, w: (calls.append("main") or
+                                      (p, o, {"loss": np.float32(1.0)})))
+        _alt_step_fn = staticmethod(
+            lambda p, o, b, k, c, w: (calls.append("alt") or
+                                      (p, o, {"loss": np.float32(1.0)})))
+
+    run_training(FakeTrainer(), [None], 4, log_every=100)
+    assert calls == ["main", "alt", "main", "alt"]
+
+
 def test_frozen_backbone_keeps_backbone_params():
     model, params = tiny_model()
     cfg = TrainConfig(
