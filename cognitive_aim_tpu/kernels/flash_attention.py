@@ -374,10 +374,13 @@ def _flash_packed_fwd_only(q, k, v, scale: float, num_heads: int,
     # fuses around the call: block 704 at N=1370 sits ~16.1 MB against the
     # 16 MB scoped limit and started OOMing at B=8 once the fused-MLP kernel
     # landed; 480 (3 blocks, +2.3% row padding vs 704) leaves ~3 MB headroom.
-    # At HD >= 1024 (ViT-L) the resident K/V double, so the cap drops to 256
-    # (the measured safe point for the composed 24-layer graph).
+    # At HD >= 1024 (ViT-L) the resident K/V double, so the cap drops.
+    # 288 (5 blocks at N=1370) beats the earlier 256 (6 blocks) end-to-end
+    # — fewer, larger programs pipeline better despite 5% vs 1.6% row
+    # padding; 352 regresses on VMEM pressure (scripts/bench_vitl_sweep.py,
+    # docs/PERF.md ViT-L block retune).
     if HD >= 1024:
-        cap = 256
+        cap = 288
     else:
         cap = 480 if B <= 8 else 352
     q_block = (q_block or int(os.environ.get("CAIM_FLASH_QB", "0"))

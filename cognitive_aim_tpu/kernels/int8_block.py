@@ -301,10 +301,12 @@ def _mlp_nb_cap(K: int, F: int, Nout: int) -> int:
     per_row = 4 * F + 4 * (K + Nout)  # f32 hidden + 2x bf16 x/out tiles
     cap = (budget - weights) // per_row
     if K >= 1024:
-        # the budget formula alone admits 160 at ViT-L, but the COMPOSED
-        # 24-layer graph crashed the compiler there; 128 is the measured
-        # safe point (144.8 img/s @518^2 B8 vs the 120 bf16 fallback)
-        cap = min(cap, 128)
+        # the budget formula alone admits 160 at ViT-L; mid-round-2 the
+        # COMPOSED 24-layer graph crashed the compiler there and 128 was
+        # the safe point, but the round-3 kernel-chain state compiles and
+        # wins at 160 (with flash qb288: 152.4 vs 144.4 img/s @518^2 B8,
+        # scripts/bench_vitl_sweep.py)
+        cap = min(cap, 160)
     return max(32, min(352, (cap // 32) * 32))
 
 def _mlp_ln_kernel(eps, x_ref, g_ref, be_ref, w1_ref, s1_ref, b1_ref,

@@ -485,12 +485,13 @@ def test_tp_mesh_composes_with_pallas_packed(monkeypatch):
 
 def test_mlp_nb_cap_shape_aware():
     """VMEM-budget-aware MLP block cap: ViT-B keeps the tuned 352; ViT-L
-    (8.4 MB of resident int8 weights) drops to the measured-safe 128; a
-    hypothetical huge F still returns a positive multiple of 32."""
+    (8.4 MB of resident int8 weights) drops to the measured 160 (round-3
+    retune — 128 was the mid-round-2 safe point); a hypothetical huge F
+    still returns a positive multiple of 32."""
     from cognitive_aim_tpu.kernels.int8_block import _mlp_nb_cap
 
     assert _mlp_nb_cap(768, 3072, 768) == 352
-    assert _mlp_nb_cap(1024, 4096, 1024) == 128
+    assert _mlp_nb_cap(1024, 4096, 1024) == 160
     cap = _mlp_nb_cap(2048, 8192, 2048)
     assert cap >= 32 and cap % 32 == 0
 
