@@ -222,6 +222,7 @@ class CognitiveAimModel:
                 filter_layer=a.token_filter_layer,
                 filter_keep=a.token_filter_keep,
                 filter_fuse=a.token_filter_fuse,
+                filter_fuse_k=a.token_filter_fuse_k,
                 filter_schedule=a.token_filter_schedule,
                 filter_rollout=a.token_filter_rollout,
                 filter_merge=a.token_filter_merge,

@@ -59,6 +59,11 @@ class ModelArchConfig:
     token_filter_layer: int = 0
     token_filter_keep: float = 1.0
     token_filter_fuse: bool = True  # EViT-style fused context token
+    # Number of fused context tokens ('@fN' suffix; perfect square). At
+    # k>1 the patch grid splits into sqrt(k) x sqrt(k) cells and each
+    # context token aggregates its cell's dropped tokens — regional means
+    # survive the drop. Drop mode only.
+    token_filter_fuse_k: int = 1
     # Progressive variant: ((layer, keep), ...) — several smaller drops
     # instead of one cliff; overrides the single layer/keep pair. Parsed
     # from 'L1:K1,L2:K2,...' CLI specs by parse_token_filter.
@@ -143,6 +148,8 @@ def parse_token_filter(spec: str) -> dict:
                                    transplant at un-filter; single-stage)
     '...@sN'                    -> stratified keep: reserve an (N,N)-
                                    strided spatial grid in the kept set
+    '...@fN'                    -> N fused context tokens (perfect
+                                   square), one per spatial cell
     Single parse point for api.py / bench.py / scripts/policy_delta.py."""
     if not spec:
         return {}
@@ -156,6 +163,8 @@ def parse_token_filter(spec: str) -> dict:
             out["token_filter_delta_correct"] = True
         elif opt.startswith("s"):
             out["token_filter_strat_stride"] = int(opt[1:])
+        elif opt.startswith("f"):
+            out["token_filter_fuse_k"] = int(opt[1:])
         elif opt.startswith("r"):
             out["token_filter_rollout"] = float(opt[1:])
         else:
@@ -269,6 +278,10 @@ def resolve_model_config(
         token_filter_fuse=bool(
             _get(raw, "token_filter_fuse",
                  model_cfg.get("token_filter_fuse", True), lookup)
+        ),
+        token_filter_fuse_k=int(
+            _get(raw, "token_filter_fuse_k",
+                 model_cfg.get("token_filter_fuse_k", 1), lookup)
         ),
         token_filter_schedule=tuple(
             (int(l), float(k)) for l, k in

@@ -393,8 +393,24 @@ def _cls_importance(lp, x, cfg: DinoV2Config, return_keys: bool = False):
     return imp
 
 
+def _group_fused(x_patches, w, groups, n_groups: int):
+    """[n_groups] context tokens: per-group importance-weighted means of
+    the weighted (dropped) patches. groups: [B, P] int32 group id per
+    patch position; w: [B, P] weights (importance x dropped-mask). The
+    per-group reduction is a masked sum — no [B, P, G] materialization,
+    G is a small static constant (1/4/9/16)."""
+    dt = x_patches.dtype
+    outs = []
+    for g in range(n_groups):
+        wg = w * (groups == g).astype(dt)
+        den = wg.sum(axis=1, keepdims=True) + jnp.asarray(1e-9, dt)
+        outs.append((x_patches * wg[..., None]).sum(axis=1, keepdims=True)
+                    / den[..., None])
+    return jnp.concatenate(outs, axis=1)
+
+
 def _filter_tokens(x, importance, keep_weights, k_keep: int,
-                   fuse: bool = False):
+                   fuse: bool = False, fuse_groups=None):
     """Keep CLS + the k_keep highest-priority patch tokens.
 
     Priority = CLS attention + 10 * (guidance weight - 1): guided-region
@@ -407,7 +423,11 @@ def _filter_tokens(x, importance, keep_weights, k_keep: int,
     selection to lowest-index order. With fuse=True an extra token — the
     CLS-attention-weighted mean of the DROPPED tokens (EViT-style) — is
     appended so the kept set retains aggregate global context through the
-    remaining blocks. Returns ([B, 1+k(+1), D] filtered stream, [B, k]
+    remaining blocks. fuse_groups ([B, P] int32 spatial group ids, or
+    None) stratifies that into one context token PER GROUP (quadrants
+    etc.): global aggregates — exactly what adversarially-global depth
+    laws read — survive the drop as G regional means instead of one
+    scalar summary. Returns ([B, 1+k(+G), D] filtered stream, [B, k]
     patch indices, ascending so the kept sub-sequence preserves spatial
     order)."""
     prio = importance
@@ -423,27 +443,35 @@ def _filter_tokens(x, importance, keep_weights, k_keep: int,
             jnp.arange(B)[:, None], idx
         ].set(1.0)
         w = importance.astype(x.dtype) * (1.0 - kept_mask)
-        denom = w.sum(axis=1, keepdims=True) + jnp.asarray(1e-9, x.dtype)
-        fused = (x[:, 1:] * w[..., None]).sum(axis=1, keepdims=True) / (
-            denom[..., None]
-        )
-        parts.append(fused)
+        if fuse_groups is not None:
+            n_groups = int(fuse_groups.max()) + 1
+            groups = jnp.broadcast_to(fuse_groups[None], (B, P))
+            parts.append(_group_fused(x[:, 1:], w, groups, n_groups))
+        else:
+            denom = w.sum(axis=1, keepdims=True) + jnp.asarray(1e-9, x.dtype)
+            fused = (x[:, 1:] * w[..., None]).sum(axis=1, keepdims=True) / (
+                denom[..., None]
+            )
+            parts.append(fused)
     return jnp.concatenate(parts, axis=1), idx
 
 
 def _refilter_tokens(x, imp_all, k_prev: int, keep_w_gathered, k_keep: int,
-                     fuse: bool = False):
+                     fuse: bool = False, groups_gathered=None,
+                     n_groups: int = 1):
     """Progressive-filtering stage 2+: the stream is already filtered to
-    [B, 1 + k_prev (+1 fused), D]. Keep the k_keep highest-priority of the
+    [B, 1 + k_prev (+G fused), D]. Keep the k_keep highest-priority of the
     k_prev patch tokens (same priority formula as _filter_tokens, with the
     guidance weights pre-gathered at the surviving indices) and re-fuse the
-    newly dropped tokens into the context token: the new fused token is the
-    importance-weighted mean of (dropped patches + old fused token), so
-    aggregate global context accumulates across stages instead of being
-    discarded at each drop. Returns (filtered stream, [B, k_keep] LOCAL
-    indices into the previous kept set, ascending)."""
+    newly dropped tokens into the context token(s): each new fused token is
+    the importance-weighted mean of (dropped patches [of its group] + the
+    group's old fused token), so aggregate global context accumulates
+    across stages instead of being discarded at each drop. groups_gathered:
+    [B, k_prev] spatial group ids of the surviving tokens (required when
+    n_groups > 1). Returns (filtered stream, [B, k_keep] LOCAL indices
+    into the previous kept set, ascending)."""
     B = x.shape[0]
-    has_fused = x.shape[1] - 1 > k_prev
+    n_fused_in = x.shape[1] - 1 - k_prev
     imp_p = imp_all[:, :k_prev]
     prio = imp_p
     if keep_w_gathered is not None:
@@ -458,14 +486,27 @@ def _refilter_tokens(x, imp_all, k_prev: int, keep_w_gathered, k_keep: int,
             jnp.arange(B)[:, None], idx
         ].set(1.0)
         w = imp_p.astype(x.dtype) * (1.0 - kept_mask)
-        num = (patches * w[..., None]).sum(axis=1, keepdims=True)
-        den = w.sum(axis=1, keepdims=True)
-        if has_fused:
-            w_f = imp_all[:, k_prev:k_prev + 1].astype(x.dtype)
-            num = num + x[:, 1 + k_prev:2 + k_prev] * w_f[..., None]
-            den = den + w_f
-        fused = num / (den[..., None] + jnp.asarray(1e-9, x.dtype))
-        parts.append(fused)
+        if n_groups > 1:
+            for g in range(n_groups):
+                wg = w * (groups_gathered == g).astype(x.dtype)
+                num = (patches * wg[..., None]).sum(axis=1, keepdims=True)
+                den = wg.sum(axis=1, keepdims=True)
+                if n_fused_in == n_groups:
+                    w_f = imp_all[:, k_prev + g:k_prev + g + 1].astype(x.dtype)
+                    num = num + x[:, 1 + k_prev + g:2 + k_prev + g] \
+                        * w_f[..., None]
+                    den = den + w_f
+                parts.append(num / (den[..., None]
+                                    + jnp.asarray(1e-9, x.dtype)))
+        else:
+            num = (patches * w[..., None]).sum(axis=1, keepdims=True)
+            den = w.sum(axis=1, keepdims=True)
+            if n_fused_in >= 1:
+                w_f = imp_all[:, k_prev:k_prev + 1].astype(x.dtype)
+                num = num + x[:, 1 + k_prev:2 + k_prev] * w_f[..., None]
+                den = den + w_f
+            fused = num / (den[..., None] + jnp.asarray(1e-9, x.dtype))
+            parts.append(fused)
     return jnp.concatenate(parts, axis=1), idx
 
 
@@ -654,6 +695,7 @@ def apply(
     filter_layer: int = 0,
     filter_keep: float = 1.0,
     filter_fuse: bool = True,
+    filter_fuse_k: int = 1,
     filter_schedule=(),
     filter_rollout: float = 0.0,
     filter_merge: bool = False,
@@ -682,6 +724,12 @@ def apply(
         Spreading one cliff-drop over several smaller ones keeps more
         tokens alive through the early layers where attention is still
         deciding what matters. Overrides filter_layer/filter_keep.
+      filter_fuse_k: number of fused context tokens (perfect square; 1 =
+        the single EViT token). At k>1 the patch grid is split into
+        sqrt(k) x sqrt(k) spatial cells and each context token aggregates
+        only ITS cell's dropped tokens — global structure (regional
+        means, gradients) survives the drop as k regional summaries
+        instead of one scalar. Drop mode only.
       filter_rollout: 0..1 — at stage 2+ blend the surviving tokens'
         accumulated importance from earlier stages into the fresh ranking
         (rollout-style multi-layer evidence instead of a single layer's
@@ -785,6 +833,25 @@ def apply(
             raise ValueError(
                 "filter_delta_correct ('@d') is single-stage drop-mode "
                 "only (not composable with '@m' or progressive schedules)")
+        fuse_groups = None
+        n_groups = max(1, int(filter_fuse_k))
+        if n_groups > 1:
+            q = int(round(n_groups ** 0.5))
+            if q * q != n_groups:
+                raise ValueError(
+                    f"filter_fuse_k must be a perfect square (got "
+                    f"{filter_fuse_k})")
+            if filter_merge or filter_delta_correct:
+                raise ValueError(
+                    "filter_fuse_k > 1 is drop-mode only ('@m'/'@d' have "
+                    "no fused context tokens)")
+            import numpy as _onp
+
+            p_sz = cfg.patch_size
+            gh, gw = images.shape[1] // p_sz, images.shape[2] // p_sz
+            rows = _onp.arange(gh)[:, None] * q // gh
+            cols = _onp.arange(gw)[None, :] * q // gw
+            fuse_groups = (rows * q + cols).astype(_onp.int32).reshape(-1)
         if filter_strat_stride > 1:
             # static stratified-sample bonus: +0.25 on the keep-weight
             # scale = +2.5 priority, above background (0) and below the
@@ -828,6 +895,7 @@ def apply(
                     x, idx_global = _filter_tokens(
                         x, imp, keep_weights, k_i,
                         fuse=filter_fuse and k_i < P,
+                        fuse_groups=fuse_groups,
                     )
                     if filter_delta_correct and k_i < P:
                         dc = _assign_dropped(imp, keys, keep_weights,
@@ -852,8 +920,12 @@ def apply(
                     # tokens dropped HERE freeze at their current values
                     x_full = _scatter_tokens(x_full.astype(x.dtype), x,
                                              idx_global)
+                    gg = None
+                    if fuse_groups is not None:
+                        gg = jnp.asarray(fuse_groups)[idx_global]
                     x, idx_local = _refilter_tokens(
                         x, imp, k_prev, kw, k_i, fuse=filter_fuse,
+                        groups_gathered=gg, n_groups=n_groups,
                     )
                 imp_carry = jnp.take_along_axis(
                     imp[:, :k_prev], idx_local, axis=1)

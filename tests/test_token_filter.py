@@ -88,6 +88,96 @@ def test_fused_context_token(setup):
     assert np.all(np.isfinite(np.asarray(full)))
 
 
+def test_stratified_fused_context_tokens(setup):
+    """@f4: one context token per 2x2 spatial cell of the 4x4 grid —
+    each is the importance-weighted mean of ITS cell's dropped tokens, so
+    regional aggregates survive the drop (the binding failure mode of the
+    global-aggregation depth laws, docs/PERF.md)."""
+    params, images = setup
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp = dinov2._cls_importance(first, x, CFG)
+    # 4x4 grid, quadrants of 2x2
+    groups = np.asarray(
+        [(r // 2) * 2 + (c // 2) for r in range(4) for c in range(4)],
+        np.int32)
+    xf, idx = dinov2._filter_tokens(x, imp, None, 4, fuse=True,
+                                    fuse_groups=groups)
+    assert xf.shape == (2, 1 + 4 + 4, 64)
+    idx_np = np.asarray(idx)
+    for b in range(2):
+        dropped = sorted(set(range(16)) - set(idx_np[b].tolist()))
+        for g in range(4):
+            dg = [p for p in dropped if groups[p] == g]
+            w = np.asarray(imp)[b, dg]
+            expect = (np.asarray(x)[b, 1:][dg] * w[:, None]).sum(0) / (
+                w.sum() + 1e-9)
+            np.testing.assert_allclose(np.asarray(xf)[b, 5 + g], expect,
+                                       atol=1e-5)
+    # scatter discards all G context tokens and restores full length
+    out = dinov2._scatter_tokens(x, xf, idx)
+    assert out.shape == x.shape
+    # end-to-end: single-stage and progressive, finite and full-shape
+    for kw in (dict(filter_layer=2, filter_keep=0.25),
+               dict(filter_schedule=((1, 0.5), (2, 0.25)))):
+        full = dinov2.apply(params, images, CFG, filter_fuse=True,
+                            filter_fuse_k=4, **kw)
+        assert full.shape == (2, 17, 64)
+        assert np.all(np.isfinite(np.asarray(full)))
+
+
+def test_fuse_k_progressive_accumulates_per_group(setup):
+    """Stage 2+ re-fusion stays group-local: each new context token folds
+    in only its own group's newly dropped tokens plus the group's OLD
+    context token (weighted by the fused slots' own importances)."""
+    params, images = setup
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp = dinov2._cls_importance(first, x, CFG)
+    groups = np.asarray(
+        [(r // 2) * 2 + (c // 2) for r in range(4) for c in range(4)],
+        np.int32)
+    xf, idx = dinov2._filter_tokens(x, imp, None, 8, fuse=True,
+                                    fuse_groups=groups)
+    imp2 = dinov2._cls_importance(first, xf, CFG)  # [2, 8+4]
+    gg = jnp.asarray(groups)[idx]
+    xf2, idx2 = dinov2._refilter_tokens(xf, imp2, 8, None, 4, fuse=True,
+                                        groups_gathered=gg, n_groups=4)
+    assert xf2.shape == (2, 1 + 4 + 4, 64)
+    idx2_np, gg_np = np.asarray(idx2), np.asarray(gg)
+    for b in range(2):
+        dropped_local = sorted(set(range(8)) - set(idx2_np[b].tolist()))
+        for g in range(4):
+            dl = [i for i in dropped_local if gg_np[b, i] == g]
+            w = np.asarray(imp2)[b, dl]
+            num = (np.asarray(xf)[b, 1:9][dl] * w[:, None]).sum(0)
+            den = w.sum()
+            wf = np.asarray(imp2)[b, 8 + g]
+            num = num + np.asarray(xf)[b, 9 + g] * wf
+            den = den + wf
+            np.testing.assert_allclose(
+                np.asarray(xf2)[b, 5 + g], num / (den + 1e-9), atol=1e-5)
+
+
+def test_parse_token_filter_fuse_k():
+    from cognitive_aim_tpu.models.config import (
+        ModelArchConfig,
+        parse_token_filter,
+    )
+
+    kw = parse_token_filter("2:0.25@f4")
+    assert kw["token_filter_fuse_k"] == 4
+    assert kw["token_filter_layer"] == 2
+    a = ModelArchConfig(**kw)
+    assert a.token_filter_active and a.token_filter_fuse_k == 4
+    # non-square and mode conflicts rejected at apply time
+    with pytest.raises(ValueError):
+        dinov2.apply(
+            dinov2.init(jax.random.PRNGKey(0), CFG),
+            jax.random.normal(jax.random.PRNGKey(1), (1, 56, 56, 3)),
+            CFG, filter_layer=2, filter_keep=0.25, filter_fuse_k=3)
+
+
 def test_model_level_threading():
     from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
     from cognitive_aim_tpu.models.config import ModelArchConfig
