@@ -82,8 +82,7 @@ def test_fast_tpu_config_resolves_certified_point():
     raw = load("eval_configs/full_cognitive_fast_tpu.yaml")
     for lookup in ("reference", "nested"):
         a = resolve_model_config(raw, lookup=lookup)
-        assert a.token_filter_layer == 2
-        assert a.token_filter_keep == 0.25
+        assert a.token_filter_schedule == ((1, 0.5), (3, 0.35), (5, 0.25))
         assert a.token_filter_fuse is True
         assert a.token_filter_active
         assert a.num_iterations == 2
