@@ -205,6 +205,31 @@ def test_model_level_threading():
     assert np.all(np.isfinite(np.asarray(out_t.depth)))
 
 
+def test_model_level_fuse_k():
+    """token_filter_fuse_k threads arch -> backbone: guided model forward
+    with 4 stratified context tokens stays finite and full-shape."""
+    from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+    from cognitive_aim_tpu.models.config import ModelArchConfig
+
+    arch = ModelArchConfig(
+        num_iterations=2, image_size=56,
+        token_filter_schedule=((1, 0.5), (2, 0.25)), token_filter_fuse_k=4,
+    )
+    model = CognitiveAimModel(arch, vit_cfg=CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    exif = {
+        "camera_idx": jnp.zeros((2,), jnp.int32),
+        "focal_length": jnp.full((2,), 50.0),
+        "aperture": jnp.full((2,), 2.8),
+        "iso": jnp.full((2,), 100.0),
+    }
+    out = model.apply(params, images, exif, guidance=jnp.array([0, 3]),
+                      rng=jax.random.PRNGKey(2))
+    assert out.depth.shape == (2, 1)
+    assert np.all(np.isfinite(np.asarray(out.depth)))
+
+
 def test_filtered_forward_dp_sharded():
     """The filtered guided forward (top_k + gather + scatter) composes with
     a data-parallel NamedSharding over the 8-virtual-device mesh."""
