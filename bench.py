@@ -144,6 +144,7 @@ def main():
         if fb not in configs:
             configs.append(fb)
     best = 0.0
+    best_cfg = (args.policy, args.attn)
     for policy, attn in configs:
         for b in batches:
             try:
@@ -155,6 +156,7 @@ def main():
             except Exception as e:
                 log(f"B={b} {policy}/{attn} failed: {type(e).__name__}: {e}")
         if best > 0:
+            best_cfg = (policy, attn)
             break
 
     # Headline: the SHIPPING configuration for the north-star operating
@@ -170,7 +172,10 @@ def main():
             and args.backbone == "base" and args.size == 518 and best > 0):
         for b in ([args.batch] if args.batch else [16, 24]):
             try:
-                fast = max(fast, bench(b, args.size, args.policy, args.attn,
+                # run under whichever (policy, attn) pair actually
+                # produced `best` — in environments where the primary
+                # config fails, the fast point rides the fallback too
+                fast = max(fast, bench(b, args.size, *best_cfg,
                                        args.k_short, args.k_long,
                                        token_filter="1:0.5,3:0.35,5:0.25",
                                        backbone=args.backbone,

@@ -393,24 +393,34 @@ def _cls_importance(lp, x, cfg: DinoV2Config, return_keys: bool = False):
     return imp
 
 
-def _group_fused(x_patches, w, groups, n_groups: int):
+def _group_fused(x_tokens, w, groups, n_groups: int, w_fallback=None):
     """[n_groups] context tokens: per-group importance-weighted means of
-    the weighted (dropped) patches. groups: [B, P] int32 group id per
-    patch position; w: [B, P] weights (importance x dropped-mask). The
-    per-group reduction is a masked sum — no [B, P, G] materialization,
-    G is a small static constant (1/4/9/16)."""
-    dt = x_patches.dtype
+    the weighted (dropped) tokens. groups: [B, T] int32 group id per
+    token; w: [B, T] weights (importance x dropped-mask). The per-group
+    reduction is a masked sum — no [B, T, G] materialization, G is a
+    small static constant (1/4/9/16). w_fallback ([B, T] or None): used
+    for a group whose w-mass is zero (e.g. a guided quadrant that was
+    fully KEPT has no dropped tokens) — the group's context token then
+    becomes its importance-weighted mean over ALL its tokens instead of
+    a zero-vector artifact."""
+    dt = x_tokens.dtype
     outs = []
     for g in range(n_groups):
-        wg = w * (groups == g).astype(dt)
-        den = wg.sum(axis=1, keepdims=True) + jnp.asarray(1e-9, dt)
-        outs.append((x_patches * wg[..., None]).sum(axis=1, keepdims=True)
-                    / den[..., None])
+        gmask = (groups == g).astype(dt)
+        wg = w * gmask
+        den = wg.sum(axis=1, keepdims=True)
+        if w_fallback is not None:
+            use_fb = (den <= 0).astype(dt)
+            wg = wg + use_fb * (w_fallback * gmask)
+            den = wg.sum(axis=1, keepdims=True)
+        outs.append((x_tokens * wg[..., None]).sum(axis=1, keepdims=True)
+                    / (den[..., None] + jnp.asarray(1e-9, dt)))
     return jnp.concatenate(outs, axis=1)
 
 
 def _filter_tokens(x, importance, keep_weights, k_keep: int,
-                   fuse: bool = False, fuse_groups=None):
+                   fuse: bool = False, fuse_groups=None,
+                   fuse_n_groups: int = 0):
     """Keep CLS + the k_keep highest-priority patch tokens.
 
     Priority = CLS attention + 10 * (guidance weight - 1): guided-region
@@ -444,9 +454,11 @@ def _filter_tokens(x, importance, keep_weights, k_keep: int,
         ].set(1.0)
         w = importance.astype(x.dtype) * (1.0 - kept_mask)
         if fuse_groups is not None:
-            n_groups = int(fuse_groups.max()) + 1
-            groups = jnp.broadcast_to(fuse_groups[None], (B, P))
-            parts.append(_group_fused(x[:, 1:], w, groups, n_groups))
+            n_groups = fuse_n_groups or int(fuse_groups.max()) + 1
+            groups = jnp.broadcast_to(jnp.asarray(fuse_groups)[None], (B, P))
+            parts.append(_group_fused(
+                x[:, 1:], w, groups, n_groups,
+                w_fallback=importance.astype(x.dtype)))
         else:
             denom = w.sum(axis=1, keepdims=True) + jnp.asarray(1e-9, x.dtype)
             fused = (x[:, 1:] * w[..., None]).sum(axis=1, keepdims=True) / (
@@ -487,17 +499,27 @@ def _refilter_tokens(x, imp_all, k_prev: int, keep_w_gathered, k_keep: int,
         ].set(1.0)
         w = imp_p.astype(x.dtype) * (1.0 - kept_mask)
         if n_groups > 1:
-            for g in range(n_groups):
-                wg = w * (groups_gathered == g).astype(x.dtype)
-                num = (patches * wg[..., None]).sum(axis=1, keepdims=True)
-                den = wg.sum(axis=1, keepdims=True)
-                if n_fused_in == n_groups:
-                    w_f = imp_all[:, k_prev + g:k_prev + g + 1].astype(x.dtype)
-                    num = num + x[:, 1 + k_prev + g:2 + k_prev + g] \
-                        * w_f[..., None]
-                    den = den + w_f
-                parts.append(num / (den[..., None]
-                                    + jnp.asarray(1e-9, x.dtype)))
+            if n_fused_in not in (0, n_groups):
+                raise ValueError(
+                    f"fused-context token count mismatch: stream carries "
+                    f"{n_fused_in} context tokens but n_groups={n_groups} "
+                    f"(stage disagreement — a bug in the caller)")
+            x_in, w_in, g_in = patches, w, groups_gathered
+            fb = imp_p.astype(x.dtype)
+            if n_fused_in:
+                # old context tokens join their own group's reduction,
+                # weighted by their CLS importances — regional context
+                # accumulates across stages
+                gids = jnp.broadcast_to(
+                    jnp.arange(n_groups)[None], (B, n_groups))
+                x_in = jnp.concatenate(
+                    [patches, x[:, 1 + k_prev:1 + k_prev + n_groups]], axis=1)
+                w_f = imp_all[:, k_prev:k_prev + n_groups].astype(x.dtype)
+                w_in = jnp.concatenate([w, w_f], axis=1)
+                g_in = jnp.concatenate([groups_gathered, gids], axis=1)
+                fb = jnp.concatenate([fb, w_f], axis=1)
+            parts.append(_group_fused(x_in, w_in, g_in, n_groups,
+                                      w_fallback=fb))
         else:
             num = (patches * w[..., None]).sum(axis=1, keepdims=True)
             den = w.sum(axis=1, keepdims=True)
@@ -851,7 +873,13 @@ def apply(
             gh, gw = images.shape[1] // p_sz, images.shape[2] // p_sz
             rows = _onp.arange(gh)[:, None] * q // gh
             cols = _onp.arange(gw)[None, :] * q // gw
-            fuse_groups = (rows * q + cols).astype(_onp.int32).reshape(-1)
+            ids = (rows * q + cols).astype(_onp.int32).reshape(-1)
+            # densify: on grids smaller than q per side some (row, col)
+            # cells are empty and the raw ids are sparse — remap to
+            # consecutive ids so every stage agrees on the token count
+            uniq = _onp.unique(ids)
+            fuse_groups = _onp.searchsorted(uniq, ids).astype(_onp.int32)
+            n_groups = int(len(uniq))
         if filter_strat_stride > 1:
             # static stratified-sample bonus: +0.25 on the keep-weight
             # scale = +2.5 priority, above background (0) and below the
@@ -895,7 +923,7 @@ def apply(
                     x, idx_global = _filter_tokens(
                         x, imp, keep_weights, k_i,
                         fuse=filter_fuse and k_i < P,
-                        fuse_groups=fuse_groups,
+                        fuse_groups=fuse_groups, fuse_n_groups=n_groups,
                     )
                     if filter_delta_correct and k_i < P:
                         dc = _assign_dropped(imp, keys, keep_weights,

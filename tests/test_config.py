@@ -77,8 +77,9 @@ def test_all_shipped_yamls_resolve():
 
 def test_fast_tpu_config_resolves_certified_point():
     """The framework-added fast config must resolve to the round-3
-    certified operating point: 518 eval, 2 focal iterations, token filter
-    2:0.25 with the fused context token (docs/PERF.md certification)."""
+    certified operating point: 518 eval, 2 focal iterations, and the
+    progressive token-filter schedule 1:0.5,3:0.35,5:0.25 with the fused
+    context token (docs/PERF.md certification)."""
     raw = load("eval_configs/full_cognitive_fast_tpu.yaml")
     for lookup in ("reference", "nested"):
         a = resolve_model_config(raw, lookup=lookup)

@@ -159,6 +159,66 @@ def test_fuse_k_progressive_accumulates_per_group(setup):
                 np.asarray(xf2)[b, 5 + g], num / (den + 1e-9), atol=1e-5)
 
 
+def test_fuse_k_empty_group_falls_back_to_group_mean(setup):
+    """A spatial cell whose patches are ALL kept (e.g. the guided region
+    covers it — guided tiers always outrank background) has no dropped
+    tokens; its context token must be the group's importance-weighted
+    mean over all its tokens, not a 0/eps zero-vector artifact."""
+    params, images = setup
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp = dinov2._cls_importance(first, x, CFG)
+    groups = np.asarray(
+        [(r // 2) * 2 + (c // 2) for r in range(4) for c in range(4)],
+        np.int32)
+    # force group 0 (positions 0,1,4,5) fully into the kept set
+    kw = np.ones((2, 16), np.float32)
+    kw[:, [0, 1, 4, 5]] = 5.0
+    xf, idx = dinov2._filter_tokens(x, imp, jnp.asarray(kw), 4, fuse=True,
+                                    fuse_groups=groups, fuse_n_groups=4)
+    idx_np = np.asarray(idx)
+    for b in range(2):
+        assert set(idx_np[b].tolist()) == {0, 1, 4, 5}
+        w = np.asarray(imp)[b, [0, 1, 4, 5]]
+        expect = (np.asarray(x)[b, 1:][[0, 1, 4, 5]] * w[:, None]).sum(0) \
+            / (w.sum() + 1e-9)
+        got = np.asarray(xf)[b, 5]  # group 0's context token
+        np.testing.assert_allclose(got, expect, atol=1e-5)
+        assert np.abs(got).max() > 1e-3  # not a zero vector
+
+
+def test_fuse_k_sparse_grid_densifies():
+    """fuse_k larger than the grid allows: on a 2x2 patch grid, q=4 cell
+    ids are sparse ({0,2,8,10}); they must densify so every stage agrees
+    on the context-token count (round-3 review finding: the mismatch
+    silently discarded all accumulated context at stage 2+)."""
+    cfg28 = dinov2.DinoV2Config(
+        hidden_size=64, num_layers=4, num_heads=4, pretrain_image_size=28,
+        patch_size=14)
+    params = dinov2.init(jax.random.PRNGKey(0), cfg28)
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 3))
+    out = dinov2.apply(params, images, cfg28, filter_fuse=True,
+                       filter_fuse_k=16,
+                       filter_schedule=((1, 0.8), (2, 0.3)))
+    assert out.shape == (2, 5, 64)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_refilter_fused_count_mismatch_raises(setup):
+    params, images = setup
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp = dinov2._cls_importance(first, x, CFG)
+    groups = np.asarray([0] * 8 + [1] * 8, np.int32)
+    xf, idx = dinov2._filter_tokens(x, imp, None, 8, fuse=True,
+                                    fuse_groups=groups, fuse_n_groups=2)
+    imp2 = dinov2._cls_importance(first, xf, CFG)
+    gg = jnp.asarray(groups)[idx]
+    with pytest.raises(ValueError, match="mismatch"):
+        dinov2._refilter_tokens(xf, imp2, 8, None, 4, fuse=True,
+                                groups_gathered=gg, n_groups=4)
+
+
 def test_parse_token_filter_fuse_k():
     from cognitive_aim_tpu.models.config import (
         ModelArchConfig,
