@@ -433,8 +433,9 @@ def _filter_tokens(x, importance, keep_weights, k_keep: int,
     selection to lowest-index order. With fuse=True an extra token — the
     CLS-attention-weighted mean of the DROPPED tokens (EViT-style) — is
     appended so the kept set retains aggregate global context through the
-    remaining blocks. fuse_groups ([B, P] int32 spatial group ids, or
-    None) stratifies that into one context token PER GROUP (quadrants
+    remaining blocks. fuse_groups (host [P] int32 spatial group ids with
+    fuse_n_groups consecutive values, or None) stratifies that into one
+    context token PER GROUP (quadrants
     etc.): global aggregates — exactly what adversarially-global depth
     laws read — survive the drop as G regional means instead of one
     scalar summary. Returns ([B, 1+k(+G), D] filtered stream, [B, k]
