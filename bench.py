@@ -160,13 +160,12 @@ def main():
             break
 
     # Headline: the SHIPPING configuration for the north-star operating
-    # point. eval_configs/full_cognitive_fast_tpu.yaml (progressive token
-    # filter 1:0.5,3:0.35,5:0.25) is certified within the 1% AbsRel budget
-    # on ground-truth metric parity — the north-star accuracy criterion —
-    # worst-case over the seeds x laws x instructions grid on
-    # operating-resolution weights, with strict prediction parity 1.31%
-    # (docs/PERF.md "Progressive schedules on 518-native weights"); the
-    # exact path is reported alongside.
+    # point. eval_configs/full_cognitive_fast_tpu.yaml (token filter
+    # 2:0.25) is certified within the 1% AbsRel budget on ground-truth
+    # metric parity — the north-star accuracy criterion — worst-case over
+    # the 3-seed x 2-law x 9-instruction grid on operating-resolution
+    # weights (6-cell max gap 0.93%, docs/PERF.md); the exact path is
+    # reported alongside.
     fast = 0.0
     if (not args.exact_only and not args.token_filter
             and args.backbone == "base" and args.size == 518 and best > 0):
@@ -177,7 +176,7 @@ def main():
                 # config fails, the fast point rides the fallback too
                 fast = max(fast, bench(b, args.size, *best_cfg,
                                        args.k_short, args.k_long,
-                                       token_filter="1:0.5,3:0.35,5:0.25",
+                                       token_filter="2:0.25",
                                        backbone=args.backbone,
                                        num_iterations=args.iters))
             except Exception as e:

@@ -77,13 +77,15 @@ def test_all_shipped_yamls_resolve():
 
 def test_fast_tpu_config_resolves_certified_point():
     """The framework-added fast config must resolve to the round-3
-    certified operating point: 518 eval, 2 focal iterations, and the
-    progressive token-filter schedule 1:0.5,3:0.35,5:0.25 with the fused
-    context token (docs/PERF.md certification)."""
+    certified operating point: 518 eval, 2 focal iterations, token filter
+    2:0.25 with the fused context token (docs/PERF.md 6-cell
+    certification — the progressive schedule failed the gt budget on the
+    third seed's ring cell and is NOT the shipped spec)."""
     raw = load("eval_configs/full_cognitive_fast_tpu.yaml")
     for lookup in ("reference", "nested"):
         a = resolve_model_config(raw, lookup=lookup)
-        assert a.token_filter_schedule == ((1, 0.5), (3, 0.35), (5, 0.25))
+        assert a.token_filter_layer == 2
+        assert a.token_filter_keep == 0.25
         assert a.token_filter_fuse is True
         assert a.token_filter_active
         assert a.num_iterations == 2
