@@ -126,8 +126,8 @@ def main():
                     help="LAYER:KEEP opt-in approximate fast path, e.g. "
                          "'4:0.35' (overrides the default dual report)")
     ap.add_argument("--exact-only", action="store_true",
-                    help="skip the certified fast-config point and headline "
-                         "the exact path (rounds 1-2 behavior)")
+                    help="skip measuring the secondary fast-config point "
+                         "(the headline is the exact path either way)")
     ap.add_argument("--backbone", type=str, default="base",
                     choices=["base", "large"])
     ap.add_argument("--iters", type=int, default=2,
@@ -159,12 +159,16 @@ def main():
             best_cfg = (policy, attn)
             break
 
-    # Headline: the SHIPPING fast configuration for the north-star
-    # operating point. eval_configs/full_cognitive_fast_tpu.yaml (token
-    # filter 2:0.25): gt-metric AbsRel parity within 1% of the exact path
-    # on 6 of 8 cells of the synthetic grid (median 0.83%, seed-
-    # idiosyncratic tail — docs/PERF.md "8-cell extension"); the exact
-    # path (parity risk 20-40x inside budget) is reported alongside.
+    # Secondary: the fast operating point
+    # (eval_configs/full_cognitive_fast_tpu.yaml, token filter 2:0.25).
+    # Its gt-metric AbsRel parity is TYPICAL-CASE only on the synthetic
+    # grid (median 0.83%, 6/8 cells within 1%, seed-idiosyncratic tail
+    # max 2.59% — docs/PERF.md "8-cell extension"), so the HEADLINE
+    # value stays the exact path, whose parity (int8 alone, worst
+    # instruction 0.047%) is certified 20x inside the budget. The fast
+    # number rides in `fast_value` with an explicit machine-readable
+    # `parity` block so the one-line JSON can never be read as "north
+    # star met" without the caveat.
     fast = 0.0
     if (not args.exact_only and not args.token_filter
             and args.backbone == "base" and args.size == 518 and best > 0):
@@ -182,20 +186,28 @@ def main():
                 log(f"fast-config B={b} failed: {type(e).__name__}: {e}")
 
     result = {
-        "metric": f"images/sec/chip guided inference @{args.size}x{args.size}",
+        "metric": f"images/sec/chip guided inference @{args.size}x{args.size}"
+                  " (exact path)",
         "value": round(best, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(best / TARGET, 3),
+        "parity": {
+            "exact": "worst-instruction AbsRel delta 0.047% (int8 vs f32)"
+                     " — certified, 20x inside the 1% budget",
+        },
     }
     if fast > best:
         result.update({
-            "metric": result["metric"]
-            + " (shipping fast config; parity analysis docs/PERF.md)",
-            "value": round(fast, 1),
-            "vs_baseline": round(fast / TARGET, 3),
-            "exact_value": round(best, 1),
-            "config": "eval_configs/full_cognitive_fast_tpu.yaml",
+            "fast_value": round(fast, 1),
+            "fast_vs_baseline": round(fast / TARGET, 3),
+            "fast_config": "eval_configs/full_cognitive_fast_tpu.yaml"
+                           " (token filter 2:0.25)",
         })
+        result["parity"]["fast"] = (
+            "gt-metric AbsRel gap vs exact: median 0.83%, 6/8 cells <=1%,"
+            " max 2.59% on the synthetic proxy — typical-case only;"
+            " worst-case-over-seeds UNCERTIFIED (docs/PERF.md"
+            " '8-cell extension')")
     print(json.dumps(result))
 
 

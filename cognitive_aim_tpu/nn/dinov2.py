@@ -544,6 +544,22 @@ def _scatter_tokens(x_full, x_filtered, idx):
     return jnp.concatenate([x_filtered[:, :1], patches], axis=1)
 
 
+def _complement_indices(idx, n_total: int, n_drop: int):
+    """Dropped-index set as the EXACT complement of the kept set `idx`
+    [B, k]. Deriving it independently via top_k(-prio) is wrong on an
+    exact priority tie at the keep boundary: both top_k calls prefer the
+    same lowest index, so one token lands in both sets and another in
+    neither (its rep/slot entry silently stays 0). All complement entries
+    share the mask value 1.0, so this top_k has no cross-set tie to get
+    wrong; returned ascending."""
+    B = idx.shape[0]
+    mask = jnp.ones((B, n_total), jnp.float32).at[
+        jnp.arange(B)[:, None], idx
+    ].set(0.0)
+    _, idx_drop = jax.lax.top_k(mask, n_drop)
+    return jnp.sort(idx_drop, axis=1)
+
+
 def _filter_tokens_merge(x, importance, keys, keep_weights, k_keep: int):
     """Merge-mode filtering (ToMe-style, arXiv:2210.09461): keep the same
     top-k_keep priority tokens as _filter_tokens, but ABSORB each dropped
@@ -581,8 +597,7 @@ def _filter_tokens_merge(x, importance, keys, keep_weights, k_keep: int):
         rep = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
         return (jnp.concatenate([x[:, :1], kept], axis=1), idx, rep,
                 jnp.ones((B, k_keep), jnp.float32))
-    _, idx_drop = jax.lax.top_k(-prio, n_drop)
-    idx_drop = jnp.sort(idx_drop, axis=1)
+    idx_drop = _complement_indices(idx, P, n_drop)
     dropped = jnp.take_along_axis(patches, idx_drop[..., None], axis=1)
     kp = keys[:, 1:]  # patch rows of the key projection
     kn = kp * jax.lax.rsqrt(
@@ -609,17 +624,17 @@ def _filter_tokens_merge(x, importance, keys, keep_weights, k_keep: int):
 
 def _assign_dropped(importance, keys, keep_weights, idx, k_keep: int):
     """Delta-correction helper: for the SAME kept set as _filter_tokens
-    (idx, from the same priority), return (idx_drop [B, P-k] sorted dropped
-    patch indices, assign [B, P-k] index into the kept set of each dropped
-    token's most-similar kept token by key cosine). Used by '@d' mode to
-    transplant each kept representative's accumulated residual-stream
-    update onto its dropped neighbours at un-filter time."""
+    (idx), return (idx_drop [B, P-k] sorted dropped patch indices — the
+    exact complement of idx, see _complement_indices; keep_weights is
+    retained in the signature for call-site symmetry but no longer enters
+    the set derivation — assign [B, P-k] index into the kept set of each
+    dropped token's most-similar kept token by key cosine). Used by '@d'
+    mode to transplant each kept representative's accumulated
+    residual-stream update onto its dropped neighbours at un-filter
+    time."""
+    del keep_weights  # kept set fully determines the complement
     B, P = importance.shape
-    prio = importance
-    if keep_weights is not None:
-        prio = prio + 10.0 * (keep_weights.astype(jnp.float32) - 1.0)
-    _, idx_drop = jax.lax.top_k(-prio, P - k_keep)
-    idx_drop = jnp.sort(idx_drop, axis=1)
+    idx_drop = _complement_indices(idx, P, P - k_keep)
     kp = keys[:, 1:]
     kn = kp * jax.lax.rsqrt(
         jnp.sum(kp * kp, axis=-1, keepdims=True) + 1e-12)
@@ -650,8 +665,7 @@ def _refilter_tokens_merge(x, imp_all, keys, k_prev: int, keep_w_gathered,
     n_drop = k_prev - k_keep
     slots = x[:, 1:1 + k_prev]
     kept = jnp.take_along_axis(slots, idx_local[..., None], axis=1)
-    _, drop_local = jax.lax.top_k(-prio, n_drop)
-    drop_local = jnp.sort(drop_local, axis=1)
+    drop_local = _complement_indices(idx_local, k_prev, n_drop)
     dropped = jnp.take_along_axis(slots, drop_local[..., None], axis=1)
     kp = keys[:, 1:1 + k_prev]
     kn = kp * jax.lax.rsqrt(

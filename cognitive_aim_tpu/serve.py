@@ -260,11 +260,16 @@ def make_handler(server: BatchingServer, data_root=None):
                 elif self.path == "/predict_batch":
                     paths = [_check_path_allowed(p, data_root)
                              for p in payload["paths"]]
+                    # compile-shape discipline: the device batch size is a
+                    # SERVER decision (one graph shape per process), never a
+                    # client knob — a novel batch_size would JIT a fresh
+                    # graph (minutes through this relay) on the handler
+                    # thread. Client-supplied values are ignored.
                     res = engine.predict_paths_batched(
                         paths,
                         instruction=payload.get("instruction"),
                         instructions=payload.get("instructions"),
-                        batch_size=int(payload.get("batch_size", 16)),
+                        batch_size=server.max_batch,
                     )
                     self._json(200, {"results": [
                         [None if np.isnan(d) else float(d),

@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 from policy_delta import synth_images  # noqa: E402
+from procedural_scenes import gen_procedural  # noqa: E402
 from train_synth_ckpt import LAWS, run_training, stage_batches  # noqa: E402
 
 EVAL_SEED = 12345  # eval images fixed across runs for comparability
@@ -246,6 +247,18 @@ def main():
     eval01, eval_dev = (None, None) if args.eval_on_train \
         else build_eval(EVAL_SEED)
     eval_seed_loaded = None
+    proc_eval = None  # lazy: (device batches, gt) for the 'proc' law
+
+    def build_eval_proc():
+        """Eval set for the procedural law: images AND ground truth come
+        from the generator (depth is a scene parameter, not a pixel
+        statistic — scripts/procedural_scenes.py)."""
+        e01, gt = gen_procedural(args.n_eval, eval_size, EVAL_SEED)
+        norm = ((e01 - np.asarray(IMAGENET_MEAN, np.float32))
+                / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
+        dev = [jnp.asarray(norm[s:s + EB])
+               for s in range(0, args.n_eval, EB)]
+        return dev, gt
     exif = {
         "camera_idx": jnp.asarray(np.zeros(EB, np.int32)),
         "focal_length": jnp.asarray(np.full(EB, 50.0, np.float32)),
@@ -264,7 +277,7 @@ def main():
     for spec, m in variants.items():
         fwds[spec] = make_fwd(m)
 
-    def measure(params_f32, params_int8, gt=None):
+    def measure(params_f32, params_int8, gt=None, ev=None):
         """-> ({spec: {instruction: absrel}} vs the f32 path,
                {name incl 'f32': {instruction: absrel vs ground truth}}).
 
@@ -282,7 +295,8 @@ def main():
             gvec = jnp.asarray(np.full(EB, gi, np.int32))
             for name, fwd in fwds.items():
                 p = params_f32 if name == "f32" else params_int8
-                outs = [fwd(p, xb, gvec).depth[:, 0] for xb in eval_dev]
+                outs = [fwd(p, xb, gvec).depth[:, 0]
+                        for xb in (ev if ev is not None else eval_dev)]
                 device_outs[name][gname] = jnp.concatenate(outs)
         depths = {}
         for name, per in device_outs.items():
@@ -343,8 +357,16 @@ def main():
         else:
             params0 = model.init(jax.random.PRNGKey(seed))
             trainer.reset_params(params0)
-            imgs01 = synth_images(args.n_train, args.image_size, seed)
-            target = LAWS[law](imgs01)
+            if law == "proc":
+                # short procedural cells CAN train here, but the regime
+                # experiment wants thousands of steps on thousands of
+                # unique images — scripts/pretrain_procedural.py (u8
+                # staging) produces the checkpoint this name matches
+                imgs01, target = gen_procedural(
+                    args.n_train, args.image_size, seed)
+            else:
+                imgs01 = synth_images(args.n_train, args.image_size, seed)
+                target = LAWS[law](imgs01)
             norm = ((imgs01 - np.asarray(IMAGENET_MEAN, np.float32))
                     / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
             staged = stage_batches(trainer, norm, target, args.batch)
@@ -353,12 +375,17 @@ def main():
             np.savez(ckpt, **flatten_tree(trained))
         p_f32 = jax.device_put(trained)
         p_int8 = model.prepare_params(trained)
-        if args.eval_on_train and eval_seed_loaded != seed:
-            eval01, eval_dev = build_eval(seed)
-            eval_seed_loaded = seed
-        # ground truth at the EVAL resolution: same law on the eval images
-        gt = LAWS[law](eval01)
-        table, gt_table = measure(p_f32, p_int8, gt)
+        if law == "proc":
+            if proc_eval is None:
+                proc_eval = build_eval_proc()
+            ev_local, gt = proc_eval
+        else:
+            if args.eval_on_train and eval_seed_loaded != seed:
+                eval01, eval_dev = build_eval(seed)
+                eval_seed_loaded = seed
+            # ground truth at the EVAL resolution: same law on eval images
+            gt, ev_local = LAWS[law](eval01), None
+        table, gt_table = measure(p_f32, p_int8, gt, ev=ev_local)
         del p_f32, p_int8, trained
         gc.collect()
         rss_gb = 0.0

@@ -1,0 +1,203 @@
+"""Long 518² pretrain on procedural scenes — the concentrated-attention
+regime, built in-environment.
+
+Trains the full model (backbone unfrozen, same recipe as the certified
+518-native grid cells: AdamW + cosine, SILog + curiosity, remat) on
+`procedural_scenes.gen_procedural` data: thousands of unique multi-object
+scenes whose depth label is the perspective size of a localizable target.
+Unlike the 400-step memorizing cells this task GENERALIZES (held-out
+AbsRel is reported every eval interval), so the backbone's CLS attention
+must learn to find structure — the regime the shipping token-filter claim
+assumes (docs/PERF.md "8-cell extension", conclusion 4).
+
+Device staging is uint8 (4x smaller through the relay; /255 + ImageNet
+normalization fused into the jitted step), so ~2k unique 518² images fit
+HBM next to the unfrozen ViT-B training state. Random flip augmentation
+(depth is flip-invariant: the target's scale doesn't change) multiplies
+the effective set 4x.
+
+    python scripts/pretrain_procedural.py --seed 0 --steps 3000 \
+        [--n-images 2048] [--batch 16] [--image-size 518] \
+        [--ckpt-dir /tmp/delta_sweep_ckpts_518]
+
+The checkpoint lands at {ckpt-dir}/s{seed}_proc_{steps}_i{size}.npz —
+the exact name `delta_sweep.py --measure-only --laws proc` looks for, so
+the δ grid runs on these weights with the existing machinery.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from procedural_scenes import gen_procedural_u8  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--image-size", type=int, default=518)
+    ap.add_argument("--n-images", type=int, default=2048)
+    ap.add_argument("--n-eval", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--ckpt-dir", type=str,
+                    default="/tmp/delta_sweep_ckpts_518")
+    ap.add_argument("--data-cache", type=str, default="/tmp/proc_data",
+                    help="cache generated scenes here (~10 min/2k @518²)")
+    ap.add_argument("--layers", type=int, default=0,
+                    help="override backbone depth (0 = full ViT-B)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny backbone for CPU smoke tests")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cognitive_aim_tpu.api import flatten_tree
+    from cognitive_aim_tpu.io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+    from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+    from cognitive_aim_tpu.models.config import ModelArchConfig
+    from cognitive_aim_tpu.train.trainer import TrainConfig, Trainer
+
+    S, B = args.image_size, args.batch
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    os.makedirs(args.data_cache, exist_ok=True)
+    out = os.path.join(args.ckpt_dir,
+                       f"s{args.seed}_proc_{args.steps}_i{S}.npz")
+
+    # ------------------------------------------------------------- data ----
+    cache = os.path.join(args.data_cache,
+                         f"train_s{args.seed}_n{args.n_images}_{S}.npz")
+    t0 = time.perf_counter()
+    if os.path.exists(cache):
+        z = np.load(cache)
+        u8, depths = z["u8"], z["depths"]
+    else:
+        u8, depths = gen_procedural_u8(args.n_images, S, args.seed)
+        np.savez(cache, u8=u8, depths=depths)
+    # held-out eval from a disjoint seed space
+    ecache = os.path.join(args.data_cache,
+                          f"eval_n{args.n_eval}_{S}.npz")
+    if os.path.exists(ecache):
+        z = np.load(ecache)
+        eu8, ed = z["u8"], z["depths"]
+    else:
+        eu8, ed = gen_procedural_u8(args.n_eval, S, 90000)
+        np.savez(ecache, u8=eu8, depths=ed)
+    print(f"data ready in {time.perf_counter() - t0:.0f}s "
+          f"({args.n_images} train + {args.n_eval} eval @{S}²)", flush=True)
+
+    # ------------------------------------------------------------ model ----
+    vit = None
+    if args.layers or args.tiny:
+        import dataclasses
+
+        from cognitive_aim_tpu.nn.dinov2 import BASE
+
+        kw = {"num_layers": args.layers or BASE.num_layers}
+        if args.tiny:
+            kw.update(hidden_size=64, num_heads=4, pretrain_image_size=S)
+        vit = dataclasses.replace(BASE, **kw)
+
+    # same arch/recipe as the 518-native certification cells
+    # (scripts/delta_sweep.py) so the only variable is the DATA REGIME
+    arch = ModelArchConfig(num_iterations=6, image_size=S,
+                           freeze_backbone=False, use_lora=False)
+    model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
+    params = model.init(jax.random.PRNGKey(args.seed))
+    cfg = TrainConfig(epochs=1, batch_size=B, steps_per_epoch=args.steps,
+                      learning_rate=args.lr, freeze_backbone=False)
+    tr = Trainer(model, params, cfg, output_dir="/tmp/pretrain_proc_out")
+
+    mean = jnp.asarray(np.asarray(IMAGENET_MEAN, np.float32))
+    std = jnp.asarray(np.asarray(IMAGENET_STD, np.float32))
+
+    def _norm(x_u8):
+        return ((x_u8.astype(jnp.float32) / 255.0) - mean) / std
+
+    # u8-staged step: normalize + random flip augmentation INSIDE the jit
+    # (the target's apparent size — hence the label — is flip-invariant)
+    def step_u8(p, o, u8b, d, e, key, cur_on, kl_w):
+        fkey, key = jax.random.split(key)
+        fh, fv = jax.random.bernoulli(fkey, 0.5, (2,))
+        x = _norm(u8b)
+        x = jnp.where(fh, x[:, :, ::-1], x)
+        x = jnp.where(fv, x[:, ::-1], x)
+        return tr._step_fn(p, o, {"images": x, "depths": d, "exif": e},
+                           key, cur_on, kl_w)
+
+    step_u8 = jax.jit(step_u8, donate_argnums=(0, 1))
+
+    # stage the full training set on device as uint8
+    n_batches = args.n_images // B
+    exif = {
+        "camera_idx": jnp.asarray(np.zeros(B, np.int32)),
+        "focal_length": jnp.asarray(np.full(B, 0.25, np.float32)),
+        "aperture": jnp.asarray(np.full(B, 0.127, np.float32)),
+        "iso": jnp.asarray(np.full(B, 0.016, np.float32)),
+    }
+    t0 = time.perf_counter()
+    staged = []
+    for i in range(n_batches):
+        sl = slice(i * B, (i + 1) * B)
+        staged.append((jnp.asarray(u8[sl]),
+                       jnp.asarray(depths[sl], jnp.float32)))
+    jax.block_until_ready(staged[-1][0])
+    print(f"staged {n_batches} u8 batches "
+          f"({args.n_images * S * S * 3 / 1e9:.1f} GB) in "
+          f"{time.perf_counter() - t0:.0f}s", flush=True)
+
+    eval_fn = jax.jit(lambda p, x8, e, k: tr.model.apply(
+        p, _norm(x8), e, rng=k))
+    eb = min(args.n_eval, 16)
+    eval_staged = [jnp.asarray(eu8[s:s + eb])
+                   for s in range(0, args.n_eval, eb)]
+    eexif = {
+        "camera_idx": jnp.asarray(np.zeros(eb, np.int32)),
+        "focal_length": jnp.asarray(np.full(eb, 0.25, np.float32)),
+        "aperture": jnp.asarray(np.full(eb, 0.127, np.float32)),
+        "iso": jnp.asarray(np.full(eb, 0.016, np.float32)),
+    }
+
+    def held_out_absrel(p):
+        outs = [eval_fn(p, xb, eexif, jax.random.PRNGKey(0)).depth[:, 0]
+                for xb in eval_staged]
+        pred = np.asarray(jnp.concatenate(outs), np.float64)
+        gt = ed.astype(np.float64)
+        return float(np.mean(np.abs(pred - gt) / np.maximum(gt, 1e-6)))
+
+    # ------------------------------------------------------------ train ----
+    p, o = tr.params, tr.opt_state
+    cur_on = jnp.asarray(True)
+    kl_w = jnp.asarray(0.1, jnp.float32)
+    order = np.random.RandomState(args.seed + 777).permutation(
+        np.tile(np.arange(n_batches), args.steps // n_batches + 1))
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        u8b, d = staged[order[step]]
+        key = jax.random.PRNGKey(step)
+        p, o, lg = step_u8(p, o, u8b, d, exif, key, cur_on, kl_w)
+        if step % 100 == 0 or step == args.steps - 1:
+            print(f"step {step}: loss={float(lg['loss']):.4f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        if (step + 1) % args.eval_every == 0 or step == args.steps - 1:
+            ar = held_out_absrel(p)
+            print(f"  held-out AbsRel @step {step + 1}: {ar * 100:.2f}% "
+                  f"(memorizing 400-step cells sit at ~36%)", flush=True)
+
+    flat = flatten_tree(jax.device_get(p))
+    np.savez(out, **flat)
+    print(f"wrote {out} ({len(flat)} tensors, "
+          f"{time.perf_counter() - t0:.0f}s total)")
+
+
+if __name__ == "__main__":
+    main()

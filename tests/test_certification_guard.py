@@ -1,0 +1,117 @@
+"""Certified-numbers guard: one cheap δ-grid cell lives in CI.
+
+The shipping fast config's parity evidence is a grid of trained cells in
+docs/results/*.json produced by scripts/delta_sweep.py — nothing re-ran
+them automatically, so a numeric regression in the token-filter path
+(ranking, drop, fuse, scatter, guided re-pool) would surface only as a
+stale doc. This promotes ONE fixed-seed tiny cell into the suite: train a
+tiny backbone on the certification grid's center law, measure the
+shipping 2:0.25 spec's gt-metric AbsRel gap vs the exact path over all 9
+instructions, and assert an upper bound.
+
+The bound is calibrated, not tight: the cell measures ~0.5-1.5% gap at
+this scale (tiny 4-layer backbone, 60 steps); the assert fires at 4% —
+far above seed noise, far below what any real filter-math regression
+produces (dropping the guided-region guarantee or mis-scattering tokens
+moves this by >10x).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from cognitive_aim_tpu.core.precision import STRICT_F32
+from cognitive_aim_tpu.models import guidance as G
+from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+from cognitive_aim_tpu.models.config import ModelArchConfig
+from cognitive_aim_tpu.nn.dinov2 import DinoV2Config
+from cognitive_aim_tpu.train.trainer import TrainConfig, Trainer
+
+SIZE = 56  # 4x4 patch grid @ patch 14
+VIT = DinoV2Config(hidden_size=64, num_layers=4, num_heads=4,
+                   patch_size=14, pretrain_image_size=SIZE)
+SPEC = {"token_filter_layer": 2, "token_filter_keep": 0.25}  # the 2:0.25 cliff
+
+
+def _arch(**kw):
+    return ModelArchConfig(num_iterations=2, image_size=SIZE,
+                           freeze_backbone=False, use_lora=False, **kw)
+
+
+@pytest.fixture(scope="module")
+def cell():
+    """Fixed-seed trained tiny cell on the certification grid's center law."""
+    from policy_delta import synth_images
+    from train_synth_ckpt import depth_law
+
+    from cognitive_aim_tpu.io.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    imgs01 = synth_images(64, SIZE, seed=0)
+    target = depth_law(imgs01)
+    norm = ((imgs01 - np.asarray(IMAGENET_MEAN, np.float32))
+            / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
+
+    model = CognitiveAimModel(_arch(), policy=STRICT_F32, vit_cfg=VIT)
+    params = model.init(jax.random.PRNGKey(0))
+    cfg = TrainConfig(epochs=1, batch_size=8, steps_per_epoch=60,
+                      learning_rate=3e-3, freeze_backbone=False,
+                      weight_decay=0.0)
+    tr = Trainer(model, params, cfg, output_dir="/tmp/cert_guard_out")
+    losses = []
+    for i in range(60):
+        b = slice((i % 8) * 8, (i % 8) * 8 + 8)
+        logs = tr.train_step({
+            "images": norm[b], "depths": target[b],
+            "exif": {"camera_idx": np.zeros(8, np.int32),
+                     "focal_length": np.full(8, 0.25, np.float32),
+                     "aperture": np.full(8, 0.127, np.float32),
+                     "iso": np.full(8, 0.016, np.float32)},
+        }, jax.random.PRNGKey(i))
+        losses.append(logs["loss"])
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), "cell did not train"
+
+    eval01 = synth_images(16, SIZE, seed=12345)
+    gt = depth_law(eval01).astype(np.float64)
+    enorm = ((eval01 - np.asarray(IMAGENET_MEAN, np.float32))
+             / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
+    return jax.device_get(tr.params), jnp.asarray(enorm), gt
+
+
+def _absrel_per_instruction(model, params, images, gt):
+    B = images.shape[0]
+    exif = {"camera_idx": jnp.zeros(B, jnp.int32),
+            "focal_length": jnp.full(B, 50.0),
+            "aperture": jnp.full(B, 2.8),
+            "iso": jnp.full(B, 100.0)}
+    fwd = jax.jit(lambda p, x, g: model.apply(
+        p, x, exif, guidance=g, rng=jax.random.PRNGKey(0)))
+    out = {}
+    for gi, gname in enumerate(G.INSTRUCTIONS):
+        d = np.asarray(
+            fwd(params, images, jnp.full(B, gi, jnp.int32)).depth[:, 0],
+            np.float64)
+        out[gname] = float(np.mean(np.abs(d - gt) / np.maximum(gt, 1e-6)))
+    return out
+
+
+def test_shipping_spec_gt_gap_bound(cell):
+    params, images, gt = cell
+    exact = CognitiveAimModel(_arch(), policy=STRICT_F32, vit_cfg=VIT)
+    fast = CognitiveAimModel(_arch(**SPEC), policy=STRICT_F32, vit_cfg=VIT)
+    p = jax.device_put(params)
+    a = _absrel_per_instruction(exact, p, images, gt)
+    b = _absrel_per_instruction(fast, p, images, gt)
+    gap = max(abs(b[g] - a[g]) for g in G.INSTRUCTIONS)
+    # calibrated ceiling — see module docstring; a filter-math regression
+    # (kept-set, scatter, fuse, guided priority) blows far past this
+    assert gap < 0.04, (
+        f"2:0.25 gt-metric gap {gap * 100:.2f}% exceeded the 4% guard "
+        f"(exact {a}, fast {b}) — the token-filter numerics moved; re-run "
+        f"scripts/delta_sweep.py before trusting docs/results/*.json")

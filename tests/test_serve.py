@@ -118,6 +118,27 @@ def test_predict_batch_paths(server):
         assert d > 0 and 0 <= c <= 1
 
 
+def test_predict_batch_ignores_client_batch_size(server):
+    """The device batch size is a server decision: a hostile sequence of
+    client batch_size values must trigger ZERO new compiles of the uint8
+    guided graph — every request rides the warmed max_batch shape
+    (serve.py pins batch_size=server.max_batch)."""
+    base, tmp, engine = server
+    paths = [_jpeg_bytes(tmp, 20 + i)[1] for i in range(3)]
+    # first call establishes the one u8-graph shape (lazy-built in
+    # predict_paths_batched)
+    _post(base + "/predict_batch", {"paths": paths, "instruction": "center"})
+    n0 = engine._guided_u8._cache_size()
+    assert n0 == 1
+    for hostile in (1, 2, 3, 7, 64):
+        out = _post(base + "/predict_batch",
+                    {"paths": paths[: max(1, hostile % 4)],
+                     "instruction": "left", "batch_size": hostile})
+        assert all(d > 0 for d, _ in out["results"])
+    assert engine._guided_u8._cache_size() == n0, (
+        "client batch_size reached the compile cache")
+
+
 def test_path_outside_data_root_rejected(server):
     """Server-local file reads are gated to the configured data root —
     anything else is a 400, not a file-existence oracle."""

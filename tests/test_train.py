@@ -252,6 +252,54 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
             leaf.sharding, sh)
 
 
+def test_elastic_orbax_restore_across_mesh_sizes(tmp_path):
+    """Fleets resize: an Orbax checkpoint written on the 8-device mesh must
+    restore — leaves resharded into the NEW mesh's shardings by the
+    abstract-target restore (trainer.load_checkpoint_orbax) — and continue
+    training on 4-, 2-, and 1-device meshes. Also round-trips npz<->Orbax
+    across mesh sizes (the portable and the production format must agree
+    bit-for-bit)."""
+    from cognitive_aim_tpu.core.mesh import make_mesh
+    from cognitive_aim_tpu.parallel.sharding import param_shardings
+
+    assert jax.device_count() == 8
+    model, params = tiny_model()
+    cfg = TrainConfig(epochs=1, steps_per_epoch=5, freeze_backbone=False)
+    t8 = Trainer(model, params, cfg, output_dir=str(tmp_path / "o8"))
+    t8.train_step(synth_batch(B=16), jax.random.PRNGKey(0))
+    t8.save_checkpoint_orbax(str(tmp_path / "ck"))
+    want = [np.asarray(x) for x in jax.tree_util.tree_leaves(t8.params)]
+
+    small = None
+    for n in (4, 2, 1):
+        mesh = make_mesh(jax.devices()[:n])
+        m2, p2 = tiny_model()
+        t = Trainer(m2, p2, cfg, mesh=mesh,
+                    output_dir=str(tmp_path / f"o{n}"))
+        t.load_checkpoint_orbax(str(tmp_path / "ck"))
+        for a, b in zip(want, jax.tree_util.tree_leaves(t.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        # restored leaves sit in the NEW mesh's shardings
+        shs = jax.tree_util.tree_leaves(
+            param_shardings(t.mesh, t.params, cfg.tensor_parallel))
+        for leaf, sh in zip(jax.tree_util.tree_leaves(t.params), shs):
+            assert leaf.sharding.is_equivalent_to(sh, leaf.ndim)
+        logs = t.train_step(synth_batch(B=8), jax.random.PRNGKey(1))
+        assert np.isfinite(logs["loss"])
+        if n == 1:
+            small = t
+
+    # npz written from the 1-device trainer (pre-step state was mutated by
+    # train_step, so save fresh) loads back onto the 8-device mesh
+    small.save_checkpoint(is_best=False, filename="elastic.npz")
+    m3, p3 = tiny_model()
+    t8b = Trainer(m3, p3, cfg, output_dir=str(tmp_path / "o8b"))
+    t8b.load_checkpoint(str(tmp_path / "o1" / "elastic.npz"))
+    for a, b in zip(jax.tree_util.tree_leaves(small.params),
+                    jax.tree_util.tree_leaves(t8b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_resume_from_torch_checkpoint(tmp_path):
     """--resume with a reference-format .pth restores model params."""
     import torch
