@@ -197,6 +197,7 @@ class CognitiveAimModel:
         curiosity_kl_weight: Optional[Any] = None,
         pipeline_mesh=None,
         pipeline_n_micro: int = 4,
+        precomputed_hs: Optional[jnp.ndarray] = None,
     ) -> ModelOutput:
         """Unified forward. `guidance` is None for the unguided path, or an
         instruction index (guidance.INSTRUCTIONS order) — scalar or per-sample
@@ -237,7 +238,14 @@ class CognitiveAimModel:
                 if gvec.ndim == 1:
                     gvec = jnp.broadcast_to(gvec[None], (B, gh * gw))
                 filter_kw["keep_weights"] = gvec
-        if pipeline_mesh is not None:
+        if precomputed_hs is not None:
+            # post-backbone seam: run the cognitive pipeline on an
+            # externally supplied [B, 1+N, D] token stream. Diagnostic
+            # surface (scripts/probe_tail_mechanism.py substitutes hybrid
+            # exact/filtered streams to localize parity drift); `images`
+            # is still required for the guidance grid geometry.
+            hs = jnp.asarray(precomputed_hs, jnp.float32)
+        elif pipeline_mesh is not None:
             # GPipe backbone over the mesh's `pipe` axis (latency option
             # for the 24-layer `large` backbone); cognitive streams, fusion
             # and heads stay data-parallel. Token filtering is a
@@ -258,11 +266,19 @@ class CognitiveAimModel:
                 attn_impl=self.attn_impl,
             ).astype(jnp.float32)
         else:
+            import os as _os
+
             hs = dinov2.apply(
                 params["backbone"], images, self.vit_cfg,
                 compute_dtype=self.policy.backbone_compute_dtype,
                 attn_impl=self.attn_impl,
-                remat=train,  # per-block activation remat for training memory
+                # per-block activation remat for training memory; the env
+                # knob lets scripts/bench_train.py A/B the FLOPs-vs-HBM
+                # trade (CAIM_TRAIN_REMAT=0 disables — viable at small
+                # batch; ~1.3x step FLOPs bought back as activation memory
+                # when on, SURVEY.md HBM note)
+                remat=train and _os.environ.get(
+                    "CAIM_TRAIN_REMAT", "1") == "1",
                 **filter_kw,
             ).astype(jnp.float32)
         cls_token = hs[:, 0]

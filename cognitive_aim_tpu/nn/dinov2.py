@@ -798,6 +798,15 @@ def apply(
       Dinov2Model.forward().last_hidden_state (ref:src/model.py:973-975 reads
       [:, 0] as CLS and [:, 1:] as patch tokens).
     """
+    if unroll == 1:
+        # CAIM_SCAN_UNROLL: unroll the layer scan N-fold so XLA can
+        # pipeline DMA across adjacent layers' kernel launches — a ViT-L
+        # retune knob (more, smaller kernel programs at D=1024 pay
+        # per-program overhead; see docs/PERF.md ViT-L ceiling). A/B via
+        # scripts/bench_vitl_sweep.py --env CAIM_SCAN_UNROLL=2.
+        import os as _os
+
+        unroll = int(_os.environ.get("CAIM_SCAN_UNROLL", "1"))
     x = _embed(params, images, cfg, compute_dtype)
 
     def _cast(a):
