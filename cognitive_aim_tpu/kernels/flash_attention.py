@@ -115,6 +115,234 @@ def flash_attention(q, k, v, scale: float, q_block: int = 256, k_block: int = 51
     return out
 
 
+# ------------------------------------------------ proportional-attention ----
+def attention_reference_bias(q, k, v, bias, scale: float):
+    """XLA reference with an additive key-side logit bias.
+
+    bias: [B, N] f32, added to every query row's scores before softmax —
+    the proportional-attention form (a token representing s merged/fused
+    source tokens gets +log(s), so softmax assigns it their aggregate
+    mass; EViT/ToMe-style size weighting)."""
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qt, kt) * scale
+    scores = scores + bias[:, None, None, :].astype(scores.dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bqhd", probs, vt)
+    return out
+
+
+def _packed_reference_bias(q, k, v, bias, scale, num_heads):
+    B, N, HD = q.shape
+    D = HD // num_heads
+    out = attention_reference_bias(
+        q.reshape(B, N, num_heads, D),
+        k.reshape(B, N, num_heads, D),
+        v.reshape(B, N, num_heads, D),
+        bias,
+        scale,
+    )
+    return out.reshape(B, N, HD)
+
+
+def _flash_packed_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale,
+                              num_heads, head_dim, n_valid):
+    """_flash_packed_kernel + a per-key additive logit bias row
+    (b_ref [1, 1, Nk] f32) folded into the padding mask — one extra VMEM
+    row per program, zero extra MXU work."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    nk = k.shape[0]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, nk), dimension=1)
+    kbias = jnp.where(kidx < n_valid, b_ref[0].astype(jnp.float32), NEG_INF)
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + kbias
+        m = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = 1.0 / e.sum(axis=-1, keepdims=True)
+        p = (e * r).astype(vh.dtype)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p, vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention_packed_bias(q, k, v, k_bias, scale: float, num_heads: int,
+                                q_block: int = 0):
+    """Packed attention with a key-side additive logit bias [B, N] f32.
+
+    Proportional attention for the token filter: fused context tokens get
+    +log(#tokens they represent), merge-mode kept tokens +log(group size),
+    so the post-filter softmax approximates the full-token-set attention
+    distribution instead of renormalizing all mass onto the subsample —
+    the CLS-row drift mechanism localized in docs/PERF.md (round-4
+    section). Backward differentiates the XLA reference."""
+    return _flash_packed_bias_fwd_only(q, k, v, k_bias, scale, num_heads,
+                                       q_block)
+
+
+def _flash_packed_bias_vjp_fwd(q, k, v, k_bias, scale, num_heads, q_block):
+    return (
+        flash_attention_packed_bias(q, k, v, k_bias, scale, num_heads,
+                                    q_block),
+        (q, k, v, k_bias),
+    )
+
+
+def _flash_packed_bias_vjp_bwd(scale, num_heads, q_block, res, g):
+    q, k, v, k_bias = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: _packed_reference_bias(a, b, c, d, scale,
+                                                  num_heads),
+        q, k, v, k_bias)
+    return vjp(g)
+
+
+flash_attention_packed_bias.defvjp(_flash_packed_bias_vjp_fwd,
+                                   _flash_packed_bias_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads", "q_block"))
+def _flash_packed_bias_fwd_only(q, k, v, k_bias, scale: float, num_heads: int,
+                                q_block: int = 0):
+    B, N, HD = q.shape
+    D = HD // num_heads
+    if HD >= 1024:
+        cap = 288
+    else:
+        cap = 480 if B <= 8 else 352
+    q_block = (q_block or int(os.environ.get("CAIM_FLASH_QB", "0"))
+               or _pick_q_block(N, max_block=cap))
+    grid = (B, pl.cdiv(N, q_block))
+    bias3 = k_bias.astype(jnp.float32).reshape(B, 1, N)
+    return pl.pallas_call(
+        functools.partial(
+            _flash_packed_bias_kernel, scale=scale, num_heads=num_heads,
+            head_dim=D, n_valid=N,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, HD), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, HD), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, HD), v.dtype),
+    )(q, k, v, bias3)
+
+
+def _flash_packed_i8qk_bias_kernel(q_ref, sq_ref, k_ref, sk_ref, v_ref,
+                                   b_ref, o_ref, *, num_heads, head_dim,
+                                   n_valid):
+    """_flash_packed_i8qk_kernel + per-key additive logit bias row."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    sq = sq_ref[0]
+    sk = sk_ref[0]
+    nk = k.shape[0]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, nk), dimension=1)
+    kbias = jnp.where(kidx < n_valid, b_ref[0].astype(jnp.float32), NEG_INF)
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s32 = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = s32.astype(jnp.float32) * sq * sk + kbias
+        m = s.max(axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = 1.0 / e.sum(axis=-1, keepdims=True)
+        p = (e * r).astype(v.dtype)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention_packed_i8qk_bias(q, k, v, k_bias, scale: float,
+                                     num_heads: int, q_block: int = 0):
+    """int8-QK^T packed attention with a key-side logit bias (see
+    flash_attention_packed_bias). Backward differentiates the
+    full-precision XLA reference (straight-through past quantization)."""
+    return _i8qk_bias_fwd_only(q, k, v, k_bias, scale, num_heads, q_block)
+
+
+def _i8qk_bias_vjp_fwd(q, k, v, k_bias, scale, num_heads, q_block):
+    return (
+        flash_attention_packed_i8qk_bias(q, k, v, k_bias, scale, num_heads,
+                                         q_block),
+        (q, k, v, k_bias),
+    )
+
+
+def _i8qk_bias_vjp_bwd(scale, num_heads, q_block, res, g):
+    q, k, v, k_bias = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: _packed_reference_bias(a, b, c, d, scale,
+                                                  num_heads),
+        q, k, v, k_bias)
+    return vjp(g)
+
+
+flash_attention_packed_i8qk_bias.defvjp(_i8qk_bias_vjp_fwd,
+                                        _i8qk_bias_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads", "q_block"))
+def _i8qk_bias_fwd_only(q, k, v, k_bias, scale: float, num_heads: int,
+                        q_block: int = 0):
+    B, N, HD = q.shape
+    D = HD // num_heads
+    q_block = q_block or _pick_q_block(N, max_block=480 if B <= 8 else 352)
+    q8, sq = quantize_rows(q)
+    k8, sk = quantize_rows(k)
+    sq = sq * scale
+    sk_t = sk.transpose(0, 2, 1)
+    bias3 = k_bias.astype(jnp.float32).reshape(B, 1, N)
+    grid = (B, pl.cdiv(N, q_block))
+    return pl.pallas_call(
+        functools.partial(
+            _flash_packed_i8qk_bias_kernel, num_heads=num_heads, head_dim=D,
+            n_valid=N,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, HD), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_block, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, HD), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, HD), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, HD), v.dtype),
+    )(q8, sq, k8, sk_t, v, bias3)
+
+
 # ----------------------------------------------------- packed v2 (int8) -----
 def _quant_rows(x):
     """per-row symmetric int8 in-VMEM quantization -> (int8, f32 scale)."""

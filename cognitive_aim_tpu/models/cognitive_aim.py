@@ -229,6 +229,7 @@ class CognitiveAimModel:
                 filter_merge=a.token_filter_merge,
                 filter_delta_correct=a.token_filter_delta_correct,
                 filter_strat_stride=a.token_filter_strat_stride,
+                filter_prop_attn=a.token_filter_prop_attn,
             )
             if guidance is not None:
                 B = images.shape[0]

@@ -84,6 +84,13 @@ class ModelArchConfig:
     # tokens (priority above background, below guided tiers) so the kept
     # set stays a spatially unbiased sample. 0 = off.
     token_filter_strat_stride: int = 0
+    # Proportional attention ('@p'): in post-filter blocks, tokens that
+    # represent several source tokens (fused context tokens in drop mode,
+    # merged kept tokens in '@m') get a +log(#represented) attention-logit
+    # bias, so the softmax assigns them their sources' aggregate mass
+    # instead of renormalizing all mass onto the kept subsample — the
+    # measured CLS-row drift mechanism (docs/PERF.md round-4 section).
+    token_filter_prop_attn: bool = False
     # Keep the filter active during TRAINING too (filter-aware finetuning,
     # the EViT deployment recipe). Off by default: training stays exact.
     token_filter_train: bool = False
@@ -150,6 +157,9 @@ def parse_token_filter(spec: str) -> dict:
                                    strided spatial grid in the kept set
     '...@fN'                    -> N fused context tokens (perfect
                                    square), one per spatial cell
+    '...@p'                     -> proportional attention: fused/merged
+                                   tokens get +log(#represented) logit
+                                   bias in post-filter blocks
     Single parse point for api.py / bench.py / scripts/policy_delta.py."""
     if not spec:
         return {}
@@ -163,6 +173,8 @@ def parse_token_filter(spec: str) -> dict:
             out["token_filter_delta_correct"] = True
         elif opt.startswith("s"):
             out["token_filter_strat_stride"] = int(opt[1:])
+        elif opt == "p":
+            out["token_filter_prop_attn"] = True
         elif opt.startswith("f"):
             out["token_filter_fuse_k"] = int(opt[1:])
         elif opt.startswith("r"):
@@ -303,6 +315,10 @@ def resolve_model_config(
         token_filter_strat_stride=int(
             _get(raw, "token_filter_strat_stride",
                  model_cfg.get("token_filter_strat_stride", 0), lookup)
+        ),
+        token_filter_prop_attn=bool(
+            _get(raw, "token_filter_prop_attn",
+                 model_cfg.get("token_filter_prop_attn", False), lookup)
         ),
         token_filter_train=bool(
             _get(raw, "token_filter_train",

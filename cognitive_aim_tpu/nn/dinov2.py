@@ -179,14 +179,21 @@ def _lin(p, x):
     return L.linear_apply(p, x)
 
 
-def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
+def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str, k_bias=None):
+    """k_bias: optional [B, N] f32 additive key-side logit bias —
+    proportional attention for the token filter's fused/merged tokens
+    (each gets +log(#source tokens it represents), so the post-filter
+    softmax approximates the full-token-set distribution; see
+    docs/PERF.md round-4 CLS-drift mechanism)."""
     B, N, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
     if attn_impl in ("pallas_packed", "pallas_packed_i8qk"):
         # packed kernel consumes [B, N, H*D] directly — no head transpose
         from cognitive_aim_tpu.kernels.flash_attention import (
             flash_attention_packed,
+            flash_attention_packed_bias,
             flash_attention_packed_i8qk,
+            flash_attention_packed_i8qk_bias,
         )
 
         if "qkv_i8" in p:
@@ -214,7 +221,14 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
             # into the projection epilogue); round 1's in-kernel quantization
             # variant lost (364 vs 405 img/s) to redundant per-q-block VPU
             # requantization of K — this one quantizes once per layer.
-            ctx = flash_attention_packed_i8qk(qp, kp, vp, hd**-0.5, H)
+            if k_bias is not None:
+                ctx = flash_attention_packed_i8qk_bias(qp, kp, vp, k_bias,
+                                                       hd**-0.5, H)
+            else:
+                ctx = flash_attention_packed_i8qk(qp, kp, vp, hd**-0.5, H)
+        elif k_bias is not None:
+            ctx = flash_attention_packed_bias(qp, kp, vp, k_bias,
+                                              hd**-0.5, H)
         else:
             ctx = flash_attention_packed(qp, kp, vp, hd**-0.5, H)
         out = _lin(p["attn_out"], ctx)
@@ -243,15 +257,19 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
         q = _lin(p["q"], x).reshape(B, N, H, hd)
         k = _lin(p["k"], x).reshape(B, N, H, hd)
         v = _lin(p["v"], x).reshape(B, N, H, hd)
-    if attn_impl == "pallas":
+    if attn_impl == "pallas" and k_bias is None:
         from cognitive_aim_tpu.kernels.flash_attention import flash_attention
 
         ctx = flash_attention(q, k, v, scale=hd**-0.5)
     else:
+        # xla path (also the pallas-v1 fallback when a bias is present —
+        # the v1 kernel predates the bias plumbing and isn't a fast path)
         q = q.transpose(0, 2, 1, 3)
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (hd**-0.5)
+        if k_bias is not None:
+            scores = scores + k_bias[:, None, None, :].astype(scores.dtype)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bqhd", probs, v)
     ctx = ctx.reshape(B, N, D)
@@ -262,9 +280,9 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str):
     return out
 
 
-def _block(p, x, cfg: DinoV2Config, attn_impl: str):
+def _block(p, x, cfg: DinoV2Config, attn_impl: str, k_bias=None):
     h = L.layernorm_apply(p["norm1"], x, cfg.layer_norm_eps)
-    x = x + p["ls1"] * _mhsa(p, h, cfg, attn_impl)
+    x = x + p["ls1"] * _mhsa(p, h, cfg, attn_impl, k_bias)
     h = L.layernorm_apply(p["norm2"], x, cfg.layer_norm_eps)
     h = _lin(p["fc1"], h)
     h = jax.nn.gelu(h, approximate=cfg.gelu_approx)
@@ -273,7 +291,7 @@ def _block(p, x, cfg: DinoV2Config, attn_impl: str):
     return x
 
 
-def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
+def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str, k_bias=None):
     """Int8 inference block in FOUR Pallas kernel launches:
 
       1. int8_qkv_proj_ln  — LN1 + quant + fused [D,3D] GEMM + split
@@ -288,7 +306,9 @@ def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
     from cognitive_aim_tpu.kernels import int8_block as IB
     from cognitive_aim_tpu.kernels.flash_attention import (
         flash_attention_packed,
+        flash_attention_packed_bias,
         flash_attention_packed_i8qk,
+        flash_attention_packed_i8qk_bias,
     )
 
     H, hd = cfg.num_heads, cfg.head_dim
@@ -300,7 +320,13 @@ def _block_int8_chained(p, x, cfg: DinoV2Config, attn_impl: str):
         eps=eps,
     )
     if attn_impl == "pallas_packed_i8qk":
-        ctx = flash_attention_packed_i8qk(qp, kp, vp, hd**-0.5, H)
+        if k_bias is not None:
+            ctx = flash_attention_packed_i8qk_bias(qp, kp, vp, k_bias,
+                                                   hd**-0.5, H)
+        else:
+            ctx = flash_attention_packed_i8qk(qp, kp, vp, hd**-0.5, H)
+    elif k_bias is not None:
+        ctx = flash_attention_packed_bias(qp, kp, vp, k_bias, hd**-0.5, H)
     else:
         # NOTE: flash_attention_packed_out_res (attn_out fused into the
         # attention epilogue) measured SLOWER end-to-end (454 vs 462 img/s
@@ -738,6 +764,7 @@ def apply(
     filter_merge: bool = False,
     filter_delta_correct: bool = False,
     filter_strat_stride: int = 0,
+    filter_prop_attn: bool = False,
     keep_weights=None,
 ) -> jnp.ndarray:
     """Forward pass.
@@ -786,6 +813,15 @@ def apply(
         residual-stream update (final - filter-point). Strictly refines
         drop-mode reconstruction when nearby tokens' updates correlate —
         which they do in a ViT's residual stream. Single-stage only.
+      filter_prop_attn: proportional attention ('@p'): in post-filter
+        blocks, tokens representing several source tokens — fused context
+        tokens (drop mode) or merged kept tokens ('@m') — get a
+        +log(#represented) attention-logit bias, so the softmax assigns
+        them their sources' aggregate mass instead of renormalizing all
+        mass onto the kept subsample. EXACT when the represented tokens
+        are identical (tests/test_kernels.py proportional-bias exactness);
+        in general a first-order correction to the CLS-row drift that
+        carries the certification tail (docs/PERF.md round-4 section).
       filter_merge: merge mode ('@m' in CLI specs): same keep set, but
         dropped tokens are ABSORBED into their most-similar kept token
         (ToMe-style) instead of frozen, and at un-filter time each dropped
@@ -856,6 +892,18 @@ def apply(
     def body(carry, layer_params):
         return block(layer_params, carry, cfg, attn_impl), None
 
+    def run_seg(xx, seg, bias):
+        """Scan a layer segment; bias ([B, T] f32 or None) is the
+        proportional-attention key-side logit bias for the CURRENT
+        (possibly filtered) token stream."""
+        if bias is None:
+            return jax.lax.scan(body, xx, seg, unroll=unroll)[0]
+
+        def body_b(carry, lp):
+            return block(lp, carry, cfg, attn_impl, bias), None
+
+        return jax.lax.scan(body_b, xx, seg, unroll=unroll)[0]
+
     P = x.shape[1] - 1
     schedule = tuple(filter_schedule or ())
     if not schedule and 0 < filter_layer < cfg.num_layers \
@@ -879,6 +927,11 @@ def apply(
             raise ValueError(
                 "filter_delta_correct ('@d') is single-stage drop-mode "
                 "only (not composable with '@m' or progressive schedules)")
+        if filter_prop_attn and not (filter_fuse or filter_merge):
+            raise ValueError(
+                "filter_prop_attn ('@p') weights tokens by how many "
+                "source tokens they represent — it needs token_filter_fuse "
+                "(drop mode) or merge mode to have any such tokens")
         fuse_groups = None
         n_groups = max(1, int(filter_fuse_k))
         if n_groups > 1:
@@ -926,11 +979,44 @@ def apply(
         rep = None   # merge mode: [B, P] position -> current slot
         sizes = None  # merge mode: [B, k] merged-group sizes
         dc = None    # @d mode: (idx_drop, assign) for the correction
+        k_bias = None  # '@p' proportional-attention logit bias [B, T]
+
+        def _prop_bias_drop(idxg):
+            """[B, 1+k+G] bias: 0 for CLS/kept, +log(#dropped tokens each
+            fused context token represents) — softmax then assigns the
+            fused token its sources' aggregate mass instead of
+            renormalizing everything onto the kept subsample (the CLS-row
+            drift mechanism, docs/PERF.md round-4 section). A stratified
+            group with nothing dropped (fallback summary token) gets
+            log(1e-6) ≈ -14: its summary duplicates kept information, so
+            full-attention parity wants it mass-less."""
+            b_sz = idxg.shape[0]
+            brow = jnp.arange(b_sz)[:, None]
+            keptm = jnp.zeros((b_sz, P), jnp.float32).at[brow, idxg].set(1.0)
+            dr = 1.0 - keptm
+            if fuse_groups is not None:
+                g = jnp.asarray(fuse_groups)[None]
+                counts = jnp.stack(
+                    [(dr * (g == gi)).sum(axis=1) for gi in range(n_groups)],
+                    axis=1)
+            else:
+                counts = dr.sum(axis=1, keepdims=True)
+            zeros = jnp.zeros((b_sz, 1 + idxg.shape[1]), jnp.float32)
+            return jnp.concatenate(
+                [zeros, jnp.log(jnp.maximum(counts, 1e-6))], axis=1)
+
+        def _prop_bias_merge(szs):
+            """[B, 1+k] bias: ToMe-style +log(group size) on every kept
+            token (each represents itself + its absorbed tokens)."""
+            z = jnp.zeros((szs.shape[0], 1), jnp.float32)
+            return jnp.concatenate(
+                [z, jnp.log(szs.astype(jnp.float32))], axis=1)
+
         r = float(filter_rollout)
         prev = 0
         for (boundary, _), k_i in zip(schedule, ks):
             seg = jax.tree.map(lambda a: a[prev:boundary], layers)
-            x, _ = jax.lax.scan(body, x, seg, unroll=unroll)
+            x = run_seg(x, seg, k_bias)
             prev = boundary
             next_lp = jax.tree.map(lambda a: a[boundary], layers)
             if filter_merge or filter_delta_correct:
@@ -983,8 +1069,13 @@ def apply(
                     imp[:, :k_prev], idx_local, axis=1)
                 idx_global = jnp.take_along_axis(
                     idx_global, idx_local, axis=1)
+            if filter_prop_attn:
+                if filter_merge:
+                    k_bias = _prop_bias_merge(sizes)
+                elif filter_fuse and idx_global.shape[1] < P:
+                    k_bias = _prop_bias_drop(idx_global)
         tail = jax.tree.map(lambda a: a[prev:], layers)
-        x, _ = jax.lax.scan(body, x, tail, unroll=unroll)
+        x = run_seg(x, tail, k_bias)
         if filter_merge:
             # unmerge: every patch position reads its representative's
             # FINAL-layer feature — no position ever carries a stale value

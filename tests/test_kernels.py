@@ -561,3 +561,97 @@ def test_int8_attnout_mlp_fused_matches_split(monkeypatch):
     # path round-trips through bf16 — tolerance covers that cast
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+# ------------------------------------------- proportional-attention bias ----
+@pytest.mark.parametrize("N", [257, 200])
+def test_flash_packed_bias_matches_reference(N, monkeypatch):
+    """Key-side logit-bias kernel == XLA reference with the same bias."""
+    _interp(monkeypatch)
+    B, H, D = 2, 2, 64
+    q, k, v = _qkv(B=B, N=N, H=H, D=D)
+    qp, kp, vp = (t.reshape(B, N, H * D) for t in (q, k, v))
+    bias = jax.random.normal(jax.random.PRNGKey(7), (B, N)) * 2.0
+    scale = D**-0.5
+    want = FA._packed_reference_bias(qp, kp, vp, bias, scale, H)
+    got = FA.flash_attention_packed_bias(qp, kp, vp, bias, scale, H,
+                                         q_block=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_flash_packed_i8qk_bias_close(monkeypatch):
+    _interp(monkeypatch)
+    B, N, H, D = 1, 260, 2, 64
+    q, k, v = _qkv(B=B, N=N, H=H, D=D)
+    qp, kp, vp = (t.reshape(B, N, H * D) for t in (q, k, v))
+    bias = jax.random.normal(jax.random.PRNGKey(7), (B, N))
+    scale = D**-0.5
+    want = np.asarray(FA._packed_reference_bias(qp, kp, vp, bias, scale, H))
+    got = np.asarray(
+        FA.flash_attention_packed_i8qk_bias(qp, kp, vp, bias, scale, H))
+    cos = np.sum(got * want, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.999, cos.min()
+    np.testing.assert_allclose(got, want, atol=0.08)
+
+
+def test_flash_packed_bias_grad_flows(monkeypatch):
+    """custom_vjp backward (XLA reference) produces finite grads for all
+    four inputs, matching the direct reference gradient."""
+    _interp(monkeypatch)
+    B, N, H, D = 1, 96, 2, 32
+    q, k, v = _qkv(B=B, N=N, H=H, D=D)
+    qp, kp, vp = (t.reshape(B, N, H * D) for t in (q, k, v))
+    bias = jax.random.normal(jax.random.PRNGKey(3), (B, N))
+    scale = D**-0.5
+
+    def loss(fn):
+        return lambda a, b, c, d: fn(a, b, c, d).sum()
+
+    g1 = jax.grad(loss(lambda *a: FA.flash_attention_packed_bias(
+        *a, scale, H, 64)), argnums=(0, 1, 2, 3))(qp, kp, vp, bias)
+    g2 = jax.grad(loss(lambda *a: FA._packed_reference_bias(*a, scale, H)),
+                  argnums=(0, 1, 2, 3))(qp, kp, vp, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4)
+
+
+def test_proportional_bias_exactness():
+    """The property the '@p' filter variant rides on: if the n dropped
+    tokens are IDENTICAL, attending over [kept, fused] with the fused
+    token biased by +log(n) reproduces full attention over
+    [kept, n copies] EXACTLY (the fused token is the copies' mean = the
+    copy itself; exp(s + log n) = n*exp(s) recovers their joint softmax
+    mass)."""
+    B, H, D, n_kept, n_drop = 1, 2, 16, 5, 7
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    kept_k = jax.random.normal(ks[0], (B, n_kept, H, D))
+    kept_v = jax.random.normal(ks[1], (B, n_kept, H, D))
+    one_k = jax.random.normal(ks[2], (B, 1, H, D))
+    one_v = jax.random.normal(ks[3], (B, 1, H, D))
+    q = jax.random.normal(jax.random.PRNGKey(9), (B, n_kept + 1, H, D))
+
+    # full set: kept tokens + n_drop identical copies
+    k_full = jnp.concatenate([kept_k] + [one_k] * n_drop, axis=1)
+    v_full = jnp.concatenate([kept_v] + [one_v] * n_drop, axis=1)
+    q_full = jnp.concatenate(
+        [q[:, :n_kept]] + [q[:, n_kept:]] * n_drop, axis=1)
+    want = FA.attention_reference(q_full, k_full, v_full, D**-0.5)
+
+    # filtered set: kept + ONE fused token (= the identical copy) with
+    # a +log(n_drop) proportional-attention bias
+    k_filt = jnp.concatenate([kept_k, one_k], axis=1)
+    v_filt = jnp.concatenate([kept_v, one_v], axis=1)
+    bias = jnp.concatenate(
+        [jnp.zeros((B, n_kept)), jnp.full((B, 1), np.log(n_drop))], axis=1)
+    got = FA.attention_reference_bias(q, k_filt, v_filt, bias, D**-0.5)
+
+    np.testing.assert_allclose(
+        np.asarray(got[:, :n_kept]), np.asarray(want[:, :n_kept]),
+        atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got[:, n_kept]), np.asarray(want[:, n_kept]),
+        atol=1e-6, rtol=1e-5)

@@ -836,3 +836,115 @@ def test_parse_token_filter_strat():
         "token_filter_layer": 2, "token_filter_keep": 0.25,
         "token_filter_strat_stride": 3,
         "token_filter_delta_correct": True}
+
+
+# ------------------------------------------- proportional attention (@p) ----
+def test_prop_attn_runs_and_differs(setup):
+    """'@p' changes the filtered forward (fused token now carries its
+    sources' aggregate softmax mass) and keeps the full output contract."""
+    params, images = setup
+    base = dinov2.apply(params, images, CFG, filter_layer=2,
+                        filter_keep=0.25)
+    prop = dinov2.apply(params, images, CFG, filter_layer=2,
+                        filter_keep=0.25, filter_prop_attn=True)
+    assert prop.shape == base.shape
+    assert np.all(np.isfinite(np.asarray(prop)))
+    assert not np.allclose(np.asarray(prop), np.asarray(base))
+
+
+def test_prop_attn_identical_dropped_tokens_recover_exact():
+    """End-to-end form of the kernel-level exactness property: when every
+    patch token is IDENTICAL, any kept set's fused token equals the
+    dropped tokens, and '@p' makes the filtered block attention match the
+    full forward exactly (drift comes only from CLS, which is kept). The
+    un-biased filter does NOT have this property — its softmax
+    renormalizes onto the subsample."""
+    params = dinov2.init(jax.random.PRNGKey(0), CFG)
+    # identical patch TOKENS: a tiled image + zeroed positional embedding
+    # (pos-embed is the only thing distinguishing equal patches)
+    params = dict(params)
+    params["pos_embed"] = jnp.zeros_like(params["pos_embed"])
+    images = jnp.tile(jax.random.normal(jax.random.PRNGKey(1),
+                                        (1, 14, 14, 3)), (1, 4, 4, 1))
+    ref = dinov2.apply(params, images, CFG)
+    prop = dinov2.apply(params, images, CFG, filter_layer=2,
+                        filter_keep=0.25, filter_prop_attn=True)
+    base = dinov2.apply(params, images, CFG, filter_layer=2,
+                        filter_keep=0.25)
+    # CLS row: @p tracks the exact path far tighter than the plain filter
+    cls_ref = np.asarray(ref[:, 0])
+    err_prop = np.abs(np.asarray(prop[:, 0]) - cls_ref).max()
+    err_base = np.abs(np.asarray(base[:, 0]) - cls_ref).max()
+    assert err_prop < 1e-4, err_prop
+    assert err_prop < err_base
+
+
+def test_prop_attn_requires_represented_tokens(setup):
+    params, images = setup
+    with pytest.raises(ValueError, match="prop_attn"):
+        dinov2.apply(params, images, CFG, filter_layer=2, filter_keep=0.25,
+                     filter_fuse=False, filter_prop_attn=True)
+
+
+def test_prop_attn_merge_mode(setup):
+    """ToMe-style size weighting in merge mode runs and changes outputs."""
+    params, images = setup
+    base = dinov2.apply(params, images, CFG, filter_layer=2,
+                        filter_keep=0.25, filter_merge=True)
+    prop = dinov2.apply(params, images, CFG, filter_layer=2,
+                        filter_keep=0.25, filter_merge=True,
+                        filter_prop_attn=True)
+    assert prop.shape == base.shape
+    assert np.all(np.isfinite(np.asarray(prop)))
+    assert not np.allclose(np.asarray(prop), np.asarray(base))
+
+
+def test_prop_attn_progressive_fuse_k(setup):
+    """@p composes with progressive schedules and stratified @f4 groups."""
+    params, images = setup
+    out = dinov2.apply(params, images, CFG,
+                       filter_schedule=((1, 0.5), (2, 0.25)),
+                       filter_fuse_k=4, filter_prop_attn=True)
+    assert out.shape == (2, 17, 64)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_parse_token_filter_prop():
+    from cognitive_aim_tpu.models.config import parse_token_filter
+
+    out = parse_token_filter("2:0.25@p")
+    assert out["token_filter_prop_attn"] is True
+    assert out["token_filter_layer"] == 2
+    out = parse_token_filter("1:0.5,2:0.25@f4@p")
+    assert out["token_filter_prop_attn"] is True
+    assert out["token_filter_fuse_k"] == 4
+
+
+def test_model_level_prop_attn():
+    """token_filter_prop_attn threads from ModelArchConfig through the
+    full CognitiveAimModel forward."""
+    from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+    from cognitive_aim_tpu.models.config import ModelArchConfig
+
+    vit = dinov2.DinoV2Config(hidden_size=64, num_layers=4, num_heads=4,
+                              pretrain_image_size=56, patch_size=14)
+    kw = dict(num_iterations=1, image_size=56, num_cameras=4)
+    exif = {
+        "camera_idx": jnp.zeros((2,), jnp.int32),
+        "focal_length": jnp.full((2,), 0.25),
+        "aperture": jnp.full((2,), 0.127),
+        "iso": jnp.full((2,), 0.016),
+    }
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    m0 = CognitiveAimModel(
+        ModelArchConfig(token_filter_layer=2, token_filter_keep=0.25, **kw),
+        vit_cfg=vit)
+    p = m0.init(jax.random.PRNGKey(0))
+    m1 = CognitiveAimModel(
+        ModelArchConfig(token_filter_layer=2, token_filter_keep=0.25,
+                        token_filter_prop_attn=True, **kw),
+        vit_cfg=vit)
+    o0 = m0.apply(p, images, exif, rng=jax.random.PRNGKey(0))
+    o1 = m1.apply(p, images, exif, rng=jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(o1.depth)))
+    assert not np.allclose(np.asarray(o0.depth), np.asarray(o1.depth))
