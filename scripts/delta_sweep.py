@@ -141,6 +141,11 @@ def main():
                          "--measure-only, load instead of retraining "
                          "(skips the ~20 min train-step compile)")
     ap.add_argument("--measure-only", action="store_true")
+    ap.add_argument("--include-unguided", action="store_true",
+                    help="also measure the unguided (guidance=None) path "
+                         "as a pseudo-instruction 'unguided' — the other "
+                         "half of the API surface. Off by default to keep "
+                         "older grid JSONs comparable.")
     ap.add_argument("--eval-on-train", action="store_true",
                     help="evaluate on the first n_eval TRAIN images of "
                          "each cell (in-sample parity; see build_eval)")
@@ -290,24 +295,31 @@ def main():
         All dispatches are queued asynchronously and each graph's outputs
         are fetched ONCE (the relay's host fetch is the sync point at
         ~15s/round-trip; per-batch fetching made the eval 25+ min/cell)."""
+        gnames = list(G.INSTRUCTIONS)
+        gvecs = {g: jnp.asarray(np.full(EB, i, np.int32))
+                 for i, g in enumerate(gnames)}
+        if args.include_unguided:
+            # the other half of the API surface: guidance=None routes
+            # through the zero-pad fusion path (a distinct traced graph,
+            # one extra compile per engine)
+            gnames.append("unguided")
+            gvecs["unguided"] = None
         device_outs = {name: {} for name in fwds}
-        for gi, gname in enumerate(G.INSTRUCTIONS):
-            gvec = jnp.asarray(np.full(EB, gi, np.int32))
+        for gname in gnames:
             for name, fwd in fwds.items():
                 p = params_f32 if name == "f32" else params_int8
-                outs = [fwd(p, xb, gvec).depth[:, 0]
+                outs = [fwd(p, xb, gvecs[gname]).depth[:, 0]
                         for xb in (ev if ev is not None else eval_dev)]
                 device_outs[name][gname] = jnp.concatenate(outs)
         depths = {}
         for name, per in device_outs.items():
             stacked = np.asarray(
-                jnp.stack([per[g] for g in G.INSTRUCTIONS]), np.float64)
-            depths[name] = {g: stacked[i]
-                            for i, g in enumerate(G.INSTRUCTIONS)}
+                jnp.stack([per[g] for g in gnames]), np.float64)
+            depths[name] = {g: stacked[i] for i, g in enumerate(gnames)}
         table = {}
         for spec in variants:
             table[spec] = {}
-            for gname in G.INSTRUCTIONS:
+            for gname in gnames:
                 a, b = depths["f32"][gname], depths[spec][gname]
                 table[spec][gname] = float(np.mean(
                     np.abs(b - a) / np.maximum(np.abs(a), 1e-6)))
@@ -319,7 +331,7 @@ def main():
                 gt_table[name] = {
                     g: float(np.mean(np.abs(depths[name][g] - gt)
                                      / np.maximum(np.abs(gt), 1e-6)))
-                    for g in G.INSTRUCTIONS
+                    for g in gnames
                 }
         return table, gt_table
 
@@ -357,11 +369,12 @@ def main():
         else:
             params0 = model.init(jax.random.PRNGKey(seed))
             trainer.reset_params(params0)
-            if law == "proc":
+            if law in ("proc", "procg"):
                 # short procedural cells CAN train here, but the regime
                 # experiment wants thousands of steps on thousands of
                 # unique images — scripts/pretrain_procedural.py (u8
-                # staging) produces the checkpoint this name matches
+                # staging, --guided for 'procg') produces the checkpoint
+                # this name matches
                 imgs01, target = gen_procedural(
                     args.n_train, args.image_size, seed)
             else:
@@ -375,7 +388,7 @@ def main():
             np.savez(ckpt, **flatten_tree(trained))
         p_f32 = jax.device_put(trained)
         p_int8 = model.prepare_params(trained)
-        if law == "proc":
+        if law in ("proc", "procg"):
             if proc_eval is None:
                 proc_eval = build_eval_proc()
             ev_local, gt = proc_eval

@@ -56,6 +56,19 @@ def main():
                     help="override backbone depth (0 = full ViT-B)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny backbone for CPU smoke tests")
+    ap.add_argument("--guided", action="store_true",
+                    help="guided-native pretrain: sample a random guidance "
+                         "instruction per sample per step (the label — the "
+                         "target's apparent size — is instruction-invariant, "
+                         "so this teaches prediction ROBUSTNESS under "
+                         "instruction modulation). Without it, guided "
+                         "evaluation of these weights is off-distribution: "
+                         "the unguided seed-0 checkpoint holds 1.74% "
+                         "held-out AbsRel unguided but ~30% under any "
+                         "instruction, which makes the guided δ grid "
+                         "meaningless on unguided-trained proc weights. "
+                         "Checkpoint name uses law 'procg' "
+                         "(delta_sweep.py --laws procg).")
     args = ap.parse_args()
 
     import jax
@@ -70,8 +83,9 @@ def main():
     S, B = args.image_size, args.batch
     os.makedirs(args.ckpt_dir, exist_ok=True)
     os.makedirs(args.data_cache, exist_ok=True)
+    law = "procg" if args.guided else "proc"
     out = os.path.join(args.ckpt_dir,
-                       f"s{args.seed}_proc_{args.steps}_i{S}.npz")
+                       f"s{args.seed}_{law}_{args.steps}_i{S}.npz")
 
     # ------------------------------------------------------------- data ----
     cache = os.path.join(args.data_cache,
@@ -114,7 +128,8 @@ def main():
     model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
     params = model.init(jax.random.PRNGKey(args.seed))
     cfg = TrainConfig(epochs=1, batch_size=B, steps_per_epoch=args.steps,
-                      learning_rate=args.lr, freeze_backbone=False)
+                      learning_rate=args.lr, freeze_backbone=False,
+                      guided_training=args.guided)
     tr = Trainer(model, params, cfg, output_dir="/tmp/pretrain_proc_out")
 
     mean = jnp.asarray(np.asarray(IMAGENET_MEAN, np.float32))
@@ -174,6 +189,27 @@ def main():
         gt = ed.astype(np.float64)
         return float(np.mean(np.abs(pred - gt) / np.maximum(gt, 1e-6)))
 
+    geval_fn = jax.jit(lambda p, x8, e, k, g: tr.model.apply(
+        p, _norm(x8), e, guidance=g, rng=k))
+
+    def held_out_absrel_guided(p):
+        """worst-instruction held-out AbsRel — the guided-native check.
+        On unguided-trained proc weights this sits at ~30% (off-
+        distribution); guided-native weights should hold it near the
+        unguided number."""
+        from cognitive_aim_tpu.models import guidance as G
+
+        gt = ed.astype(np.float64)
+        worst = 0.0
+        for gi in range(len(G.INSTRUCTIONS)):
+            gvec = jnp.asarray(np.full(eb, gi, np.int32))
+            outs = [geval_fn(p, xb, eexif, jax.random.PRNGKey(0),
+                             gvec).depth[:, 0] for xb in eval_staged]
+            pred = np.asarray(jnp.concatenate(outs), np.float64)
+            worst = max(worst, float(np.mean(
+                np.abs(pred - gt) / np.maximum(gt, 1e-6))))
+        return worst
+
     # ------------------------------------------------------------ train ----
     p, o = tr.params, tr.opt_state
     cur_on = jnp.asarray(True)
@@ -190,8 +226,12 @@ def main():
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
         if (step + 1) % args.eval_every == 0 or step == args.steps - 1:
             ar = held_out_absrel(p)
-            print(f"  held-out AbsRel @step {step + 1}: {ar * 100:.2f}% "
-                  f"(memorizing 400-step cells sit at ~36%)", flush=True)
+            msg = (f"  held-out AbsRel @step {step + 1}: {ar * 100:.2f}% "
+                   f"(memorizing 400-step cells sit at ~36%)")
+            if args.guided:
+                gar = held_out_absrel_guided(p)
+                msg += f"  worst-instruction guided: {gar * 100:.2f}%"
+            print(msg, flush=True)
 
     flat = flatten_tree(jax.device_get(p))
     np.savez(out, **flat)
