@@ -66,11 +66,11 @@ def bench(batch_size: int, image_size: int, policy: str, attn: str,
     B, S = batch_size, image_size
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(B, S, S, 3).astype(np.float32) * 0.5)
-    exif = {
+    exif = {  # normalized per the model contract (io/exif.py: /200,/22,/6400)
         "camera_idx": jnp.zeros((B,), jnp.int32),
-        "focal_length": jnp.full((B,), 50.0),
-        "aperture": jnp.full((B,), 2.8),
-        "iso": jnp.full((B,), 100.0),
+        "focal_length": jnp.full((B,), 0.25),
+        "aperture": jnp.full((B,), 0.127),
+        "iso": jnp.full((B,), 0.016),
     }
     gidx = jnp.asarray(rng.randint(0, 9, B), jnp.int32)
     key = jax.random.PRNGKey(0)

@@ -264,11 +264,17 @@ def main():
         dev = [jnp.asarray(norm[s:s + EB])
                for s in range(0, args.n_eval, EB)]
         return dev, gt
+    # NORMALIZED exif (model contract: io/exif.py _process_exif_for_model
+    # divides raw values by 200/22/6400) and the SAME constants every cell
+    # trains with (train_synth_ckpt.stage_batches, pretrain_procedural).
+    # Until round 4 this passed RAW (50.0/2.8/100) — a 200x out-of-range
+    # input into the EXIF prior MLP, so every δ was measured at an input
+    # point off the trained manifold.
     exif = {
         "camera_idx": jnp.asarray(np.zeros(EB, np.int32)),
-        "focal_length": jnp.asarray(np.full(EB, 50.0, np.float32)),
-        "aperture": jnp.asarray(np.full(EB, 2.8, np.float32)),
-        "iso": jnp.asarray(np.full(EB, 100.0, np.float32)),
+        "focal_length": jnp.asarray(np.full(EB, 0.25, np.float32)),
+        "aperture": jnp.asarray(np.full(EB, 0.127, np.float32)),
+        "iso": jnp.asarray(np.full(EB, 0.016, np.float32)),
     }
     key = jax.random.PRNGKey(0)
 

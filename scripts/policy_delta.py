@@ -118,11 +118,14 @@ def main():
     imgs = synth_images(args.n, args.image_size, args.seed)
     norm = ((imgs - np.asarray(IMAGENET_MEAN, np.float32))
             / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
+    # NORMALIZED exif (model contract: io/exif.py divides raw by 200/22/
+    # 6400); also the constants train_synth_ckpt trains --checkpoint
+    # weights with, so the δ is measured on the trained manifold
     exif = {
         "camera_idx": np.zeros(args.batch, np.int32),
-        "focal_length": np.full(args.batch, 50.0, np.float32),
-        "aperture": np.full(args.batch, 2.8, np.float32),
-        "iso": np.full(args.batch, 100.0, np.float32),
+        "focal_length": np.full(args.batch, 0.25, np.float32),
+        "aperture": np.full(args.batch, 0.127, np.float32),
+        "iso": np.full(args.batch, 0.016, np.float32),
     }
     exif_j = {k: jnp.asarray(v) for k, v in exif.items()}
     key = jax.random.PRNGKey(0)

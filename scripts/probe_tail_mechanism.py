@@ -162,11 +162,13 @@ def main():
                            freeze_backbone=False, use_lora=False)
     model = CognitiveAimModel(arch)  # f32 policy, xla attention
 
+    # normalized exif, matching the cells' training constants (the model
+    # contract is raw/200, raw/22, raw/6400 — io/exif.py)
     exif_B = {
         "camera_idx": jnp.zeros(args.batch, jnp.int32),
-        "focal_length": jnp.full(args.batch, 50.0),
-        "aperture": jnp.full(args.batch, 2.8),
-        "iso": jnp.full(args.batch, 100.0),
+        "focal_length": jnp.full(args.batch, 0.25),
+        "aperture": jnp.full(args.batch, 0.127),
+        "iso": jnp.full(args.batch, 0.016),
     }
     key = jax.random.PRNGKey(0)
     from cognitive_aim_tpu.core.rng import NoiseMode

@@ -86,10 +86,12 @@ def cell():
 
 def _absrel_per_instruction(model, params, images, gt):
     B = images.shape[0]
+    # normalized exif matching the cell's TRAINING constants above — the
+    # delta must be measured on the trained manifold (round-4 harness fix)
     exif = {"camera_idx": jnp.zeros(B, jnp.int32),
-            "focal_length": jnp.full(B, 50.0),
-            "aperture": jnp.full(B, 2.8),
-            "iso": jnp.full(B, 100.0)}
+            "focal_length": jnp.full(B, 0.25),
+            "aperture": jnp.full(B, 0.127),
+            "iso": jnp.full(B, 0.016)}
     fwd = jax.jit(lambda p, x, g: model.apply(
         p, x, exif, guidance=g, rng=jax.random.PRNGKey(0)))
     out = {}
