@@ -260,11 +260,18 @@ class CognitiveAimModel:
                 raise ValueError(
                     "pipeline parallelism requires unquantized backbone "
                     "params (use policy='default'/'f32')")
+            import os as _os
+
             hs = dinov2.apply_pipelined(
                 params["backbone"], images, self.vit_cfg, pipeline_mesh,
                 n_micro=pipeline_n_micro,
                 compute_dtype=self.policy.backbone_compute_dtype,
                 attn_impl=self.attn_impl,
+                # pipelined TRAINING (TrainConfig.pipeline_stages) recomputes
+                # each stage chunk in backward — the GPipe memory discipline;
+                # same CAIM_TRAIN_REMAT escape hatch as the sequential path
+                remat=train and _os.environ.get(
+                    "CAIM_TRAIN_REMAT", "1") == "1",
             ).astype(jnp.float32)
         else:
             import os as _os

@@ -1121,12 +1121,15 @@ def apply_pipelined(
     n_micro: int = 4,
     compute_dtype=jnp.float32,
     attn_impl: str = "xla",
+    remat: bool = False,
 ):
     """Pipeline-parallel forward: the layer stack is sharded over the mesh's
     `pipe` axis and driven by the GPipe schedule (parallel/pipeline.py);
     embedding and final norm run data-parallel. Numerically identical to
     apply() — the multi-chip latency option for the 24-layer `large`
-    backbone (the reference is single-device, SURVEY.md §2.6)."""
+    backbone (the reference is single-device, SURVEY.md §2.6). Training
+    differentiates straight through the schedule (pipelined_scan docstring);
+    `remat` enables the per-stage GPipe memory discipline."""
     from cognitive_aim_tpu.parallel.pipeline import pipelined_scan
 
     x = _embed(params, images, cfg, compute_dtype)
@@ -1134,6 +1137,7 @@ def apply_pipelined(
     x = pipelined_scan(
         mesh, layers, x,
         lambda lp, c: _block(lp, c, cfg, attn_impl), n_micro,
+        remat=remat,
     )
     return L.layernorm_apply(
         jax.tree.map(lambda a: a.astype(compute_dtype), params["final_norm"]),

@@ -57,15 +57,26 @@ def pipelined_scan(
     x: jnp.ndarray,
     block_fn: Callable,
     n_micro: int,
+    remat: bool = False,
 ):
     """Run ``x -> scan(block_fn, layers)`` pipelined over the mesh's `pipe`
     axis with `n_micro` microbatches per local batch.
+
+    Differentiable: ``jax.grad`` through this function yields the classic
+    reversed GPipe backward schedule automatically — ``lax.ppermute``'s
+    transpose is the reverse permute (cotangents hop stage s+1 -> s over
+    the same ICI links) and the static-bound ``fori_loop`` is converted to
+    a scan for reverse-mode. Used by the pipelined training step
+    (train/trainer.py, ``TrainConfig.pipeline_stages``).
 
     Args:
       layers: layer-stacked param pytree, every leaf [L, ...]; L must divide
         by the pipe-axis size.
       x: [B, ...] activations; B must divide by data-axis size * n_micro.
       block_fn: (layer_params, x) -> x for ONE layer.
+      remat: rematerialize each stage chunk in the backward pass (canonical
+        GPipe memory discipline: keep only microbatch boundaries, recompute
+        the per-layer intermediates inside a stage).
     Returns [B, ...], numerically identical to the sequential scan.
     """
     n_stages = mesh.shape[PIPE_AXIS]
@@ -98,6 +109,9 @@ def pipelined_scan(
         def apply_chunk(xm):
             out, _ = jax.lax.scan(lambda c, lp: (block_fn(lp, c), None), xm, chunk)
             return out
+
+        if remat:
+            apply_chunk = jax.checkpoint(apply_chunk)
 
         n_steps = n_micro + n_stages - 1
         fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]

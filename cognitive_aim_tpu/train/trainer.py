@@ -86,6 +86,15 @@ class TrainConfig:
     # 0.95%->3.39% under unguided filter-aware finetuning). Randomizing the
     # instruction matches the train-time kept-set distribution to eval.
     guided_training: bool = False
+    # Pipeline-parallel training (GPipe): >1 shards the backbone layer
+    # stack over a `pipe` mesh axis and differentiates straight through
+    # the schedule (parallel/pipeline.py pipelined_scan — ppermute's
+    # transpose gives the reversed backward schedule; stage chunks remat
+    # in backward). Mutually exclusive with tensor_parallel and the token
+    # filter; the memory option for the 24-layer `large` backbone when a
+    # full DP replica of the training state doesn't fit one chip.
+    pipeline_stages: int = 0
+    pipeline_n_micro: int = 4
     # the logging.curiosity block the shipped configs declare but the
     # reference never implements (configs/experiment_B.yaml): attention
     # heatmap images + curiosity statistics to TensorBoard at validation
@@ -162,6 +171,21 @@ class Trainer:
         to BOTH the exact and the filtered path (sandwich-style training)."""
         self.model = model
         self.cfg = cfg
+        if cfg.pipeline_stages > 1:
+            if cfg.tensor_parallel:
+                raise ValueError(
+                    "pipeline_stages and tensor_parallel are mutually "
+                    "exclusive (the pipe mesh has no `model` axis)")
+            if mesh is None:
+                from cognitive_aim_tpu.parallel.pipeline import (
+                    make_pipeline_mesh,
+                )
+
+                mesh = make_pipeline_mesh(cfg.pipeline_stages)
+            elif "pipe" not in mesh.axis_names:
+                raise ValueError(
+                    f"pipeline_stages={cfg.pipeline_stages} needs a mesh "
+                    f"with a 'pipe' axis, got {mesh.axis_names}")
         self.mesh = mesh if mesh is not None else make_mesh()
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
@@ -248,9 +272,13 @@ class Trainer:
                 guidance = jax.random.randint(
                     grng, (batch["images"].shape[0],), 0, len(G.INSTRUCTIONS)
                 )
+            pipe_kw = {}
+            if cfg.pipeline_stages > 1:
+                pipe_kw = dict(pipeline_mesh=self.mesh,
+                               pipeline_n_micro=cfg.pipeline_n_micro)
             out = model.apply(
                 params, batch["images"], batch.get("exif"), guidance=guidance,
-                rng=rng, train=True, curiosity_kl_weight=kl_w,
+                rng=rng, train=True, curiosity_kl_weight=kl_w, **pipe_kw,
             )
             pred = out.depth[:, 0]
             target = scalar_depth_target(batch["depths"])

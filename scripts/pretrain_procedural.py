@@ -232,6 +232,11 @@ def main():
                 gar = held_out_absrel_guided(p)
                 msg += f"  worst-instruction guided: {gar * 100:.2f}%"
             print(msg, flush=True)
+            # periodic save (atomic rename): a multi-hour run survives a
+            # host restart with at most eval_every steps lost
+            flat = flatten_tree(jax.device_get(p))
+            np.savez(out + ".tmp.npz", **flat)
+            os.replace(out + ".tmp.npz", out)
 
     flat = flatten_tree(jax.device_get(p))
     np.savez(out, **flat)
