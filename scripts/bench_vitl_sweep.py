@@ -25,11 +25,18 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# NOTE: after the round-3 retune, qb288 + mlp_nb160 ARE the ViT-L
+# defaults — "baseline" already includes them. Round-4 candidates attack
+# the remaining per-program overhead / shallow-DMA-pipelining gap
+# (docs/PERF.md ViT-L ceiling analysis): scan unroll exposes layer-pair
+# boundaries to XLA so adjacent kernels' DMAs can overlap.
 POINTS = [
     ("baseline", {}),
+    ("unroll2", {"CAIM_SCAN_UNROLL": "2"}),
+    ("unroll3", {"CAIM_SCAN_UNROLL": "3"}),
+    ("unroll2_qb352", {"CAIM_SCAN_UNROLL": "2", "CAIM_FLASH_QB": "352"}),
+    ("unroll2_nb192", {"CAIM_SCAN_UNROLL": "2", "CAIM_MLP_NB": "192"}),
     ("flash_qb352", {"CAIM_FLASH_QB": "352"}),
-    ("flash_qb288", {"CAIM_FLASH_QB": "288"}),
-    ("mlp_nb160", {"CAIM_MLP_NB": "160"}),
     ("qkv_nb352", {"CAIM_QKV_NB": "352"}),
 ]
 
