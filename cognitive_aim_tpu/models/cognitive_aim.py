@@ -230,6 +230,7 @@ class CognitiveAimModel:
                 filter_delta_correct=a.token_filter_delta_correct,
                 filter_strat_stride=a.token_filter_strat_stride,
                 filter_prop_attn=a.token_filter_prop_attn,
+                filter_ctx_frac=a.token_filter_ctx_frac,
             )
             if guidance is not None:
                 B = images.shape[0]

@@ -91,6 +91,12 @@ class ModelArchConfig:
     # instead of renormalizing all mass onto the kept subsample — the
     # measured CLS-row drift mechanism (docs/PERF.md round-4 section).
     token_filter_prop_attn: bool = False
+    # Context reserve ('@cF', 0 <= F < 1): reserve fraction F of the keep
+    # budget for the top tokens by RAW CLS importance, bypassing the
+    # guidance boost. Exact no-op unguided; under guidance it guarantees
+    # scene context survives even when the boosted guided tiers alone
+    # would exhaust the budget (nn/dinov2.py:_keep_indices).
+    token_filter_ctx_frac: float = 0.0
     # Keep the filter active during TRAINING too (filter-aware finetuning,
     # the EViT deployment recipe). Off by default: training stays exact.
     token_filter_train: bool = False
@@ -160,6 +166,9 @@ def parse_token_filter(spec: str) -> dict:
     '...@p'                     -> proportional attention: fused/merged
                                    tokens get +log(#represented) logit
                                    bias in post-filter blocks
+    '...@cF'                    -> context reserve: fraction F of the keep
+                                   budget goes to top RAW-importance
+                                   tokens, bypassing the guidance boost
     Single parse point for api.py / bench.py / scripts/policy_delta.py."""
     if not spec:
         return {}
@@ -175,6 +184,8 @@ def parse_token_filter(spec: str) -> dict:
             out["token_filter_strat_stride"] = int(opt[1:])
         elif opt == "p":
             out["token_filter_prop_attn"] = True
+        elif opt.startswith("c"):
+            out["token_filter_ctx_frac"] = float(opt[1:])
         elif opt.startswith("f"):
             out["token_filter_fuse_k"] = int(opt[1:])
         elif opt.startswith("r"):
@@ -319,6 +330,10 @@ def resolve_model_config(
         token_filter_prop_attn=bool(
             _get(raw, "token_filter_prop_attn",
                  model_cfg.get("token_filter_prop_attn", False), lookup)
+        ),
+        token_filter_ctx_frac=float(
+            _get(raw, "token_filter_ctx_frac",
+                 model_cfg.get("token_filter_ctx_frac", 0.0), lookup)
         ),
         token_filter_train=bool(
             _get(raw, "token_filter_train",

@@ -444,9 +444,46 @@ def _group_fused(x_tokens, w, groups, n_groups: int, w_fallback=None):
     return jnp.concatenate(outs, axis=1)
 
 
+def _keep_indices(importance, keep_weights, k_keep: int,
+                  ctx_frac: float = 0.0):
+    """Kept-set selection shared by every filter variant.
+
+    Priority = CLS attention + 10 * (guidance weight - 1), so guided-region
+    tokens outrank background (see _filter_tokens for the tier arithmetic).
+    ctx_frac > 0 ('@cF') reserves round(ctx_frac * k_keep) slots of the
+    keep budget for the top tokens by RAW importance — scene context
+    chosen by what the CLS token actually attends to, immune to the
+    guidance boost. Without it, a small keep budget is spent entirely
+    inside the guided disc (at 518² the boosted tiers cover ~452 tokens,
+    so k <= 452 keeps ZERO background): the kept tokens then run the
+    remaining blocks with no scene context, and on weights whose guided
+    answer genuinely depends on scene structure (the concentrated-
+    attention regime, docs/PERF.md round-4 section) the guided output
+    collapses toward a global prior. On an unguided row (keep_weights
+    None or all-ones) the reserve is an exact no-op: both top_k calls
+    read the same ranking, and their union is top_k(importance, k_keep).
+    Returns [B, k_keep] ascending patch indices."""
+    prio = importance
+    if keep_weights is not None:
+        prio = prio + 10.0 * (keep_weights.astype(jnp.float32) - 1.0)
+    k_ctx = int(round(k_keep * ctx_frac)) if keep_weights is not None else 0
+    if k_ctx <= 0:
+        _, idx = jax.lax.top_k(prio, k_keep)
+        return jnp.sort(idx, axis=1)
+    B, P = importance.shape
+    _, idx_g = jax.lax.top_k(prio, k_keep - k_ctx)
+    taken = jnp.zeros((B, P), jnp.float32).at[
+        jnp.arange(B)[:, None], idx_g
+    ].set(1.0)
+    # mask out the already-kept tokens; importance is in [0, 1] so the
+    # -1e9 offset can't collide with any live value
+    _, idx_c = jax.lax.top_k(importance - 1e9 * taken, k_ctx)
+    return jnp.sort(jnp.concatenate([idx_g, idx_c], axis=1), axis=1)
+
+
 def _filter_tokens(x, importance, keep_weights, k_keep: int,
                    fuse: bool = False, fuse_groups=None,
-                   fuse_n_groups: int = 0):
+                   fuse_n_groups: int = 0, ctx_frac: float = 0.0):
     """Keep CLS + the k_keep highest-priority patch tokens.
 
     Priority = CLS attention + 10 * (guidance weight - 1): guided-region
@@ -467,11 +504,7 @@ def _filter_tokens(x, importance, keep_weights, k_keep: int,
     scalar summary. Returns ([B, 1+k(+G), D] filtered stream, [B, k]
     patch indices, ascending so the kept sub-sequence preserves spatial
     order)."""
-    prio = importance
-    if keep_weights is not None:
-        prio = prio + 10.0 * (keep_weights.astype(jnp.float32) - 1.0)
-    _, idx = jax.lax.top_k(prio, k_keep)
-    idx = jnp.sort(idx, axis=1)
+    idx = _keep_indices(importance, keep_weights, k_keep, ctx_frac)
     kept = jnp.take_along_axis(x[:, 1:], idx[..., None], axis=1)
     parts = [x[:, :1], kept]
     if fuse:
@@ -497,7 +530,7 @@ def _filter_tokens(x, importance, keep_weights, k_keep: int,
 
 def _refilter_tokens(x, imp_all, k_prev: int, keep_w_gathered, k_keep: int,
                      fuse: bool = False, groups_gathered=None,
-                     n_groups: int = 1):
+                     n_groups: int = 1, ctx_frac: float = 0.0):
     """Progressive-filtering stage 2+: the stream is already filtered to
     [B, 1 + k_prev (+G fused), D]. Keep the k_keep highest-priority of the
     k_prev patch tokens (same priority formula as _filter_tokens, with the
@@ -512,11 +545,7 @@ def _refilter_tokens(x, imp_all, k_prev: int, keep_w_gathered, k_keep: int,
     B = x.shape[0]
     n_fused_in = x.shape[1] - 1 - k_prev
     imp_p = imp_all[:, :k_prev]
-    prio = imp_p
-    if keep_w_gathered is not None:
-        prio = prio + 10.0 * (keep_w_gathered.astype(jnp.float32) - 1.0)
-    _, idx = jax.lax.top_k(prio, k_keep)
-    idx = jnp.sort(idx, axis=1)
+    idx = _keep_indices(imp_p, keep_w_gathered, k_keep, ctx_frac)
     patches = x[:, 1:1 + k_prev]
     kept = jnp.take_along_axis(patches, idx[..., None], axis=1)
     parts = [x[:, :1], kept]
@@ -586,7 +615,8 @@ def _complement_indices(idx, n_total: int, n_drop: int):
     return jnp.sort(idx_drop, axis=1)
 
 
-def _filter_tokens_merge(x, importance, keys, keep_weights, k_keep: int):
+def _filter_tokens_merge(x, importance, keys, keep_weights, k_keep: int,
+                         ctx_frac: float = 0.0):
     """Merge-mode filtering (ToMe-style, arXiv:2210.09461): keep the same
     top-k_keep priority tokens as _filter_tokens, but ABSORB each dropped
     token into its most similar kept token (cosine similarity over the
@@ -611,11 +641,7 @@ def _filter_tokens_merge(x, importance, keys, keep_weights, k_keep: int):
     whose final feature should stand for it, sizes [B, k] merged-group
     sizes for multi-stage size-weighted re-merging)."""
     B, P = importance.shape
-    prio = importance
-    if keep_weights is not None:
-        prio = prio + 10.0 * (keep_weights.astype(jnp.float32) - 1.0)
-    _, idx = jax.lax.top_k(prio, k_keep)
-    idx = jnp.sort(idx, axis=1)
+    idx = _keep_indices(importance, keep_weights, k_keep, ctx_frac)
     n_drop = P - k_keep
     patches = x[:, 1:]
     kept = jnp.take_along_axis(patches, idx[..., None], axis=1)
@@ -671,7 +697,7 @@ def _assign_dropped(importance, keys, keep_weights, idx, k_keep: int):
 
 
 def _refilter_tokens_merge(x, imp_all, keys, k_prev: int, keep_w_gathered,
-                           k_keep: int, sizes):
+                           k_keep: int, sizes, ctx_frac: float = 0.0):
     """Progressive merge stage 2+: the stream is [B, 1 + k_prev, D] with
     per-token merged-group sizes [B, k_prev]. Keep the k_keep highest-
     priority slots (same formula as _refilter_tokens) and absorb each
@@ -683,11 +709,7 @@ def _refilter_tokens_merge(x, imp_all, keys, k_prev: int, keep_w_gathered,
     new sizes [B, k_keep])."""
     B = imp_all.shape[0]
     imp_p = imp_all[:, :k_prev]
-    prio = imp_p
-    if keep_w_gathered is not None:
-        prio = prio + 10.0 * (keep_w_gathered.astype(jnp.float32) - 1.0)
-    _, idx_local = jax.lax.top_k(prio, k_keep)
-    idx_local = jnp.sort(idx_local, axis=1)
+    idx_local = _keep_indices(imp_p, keep_w_gathered, k_keep, ctx_frac)
     n_drop = k_prev - k_keep
     slots = x[:, 1:1 + k_prev]
     kept = jnp.take_along_axis(slots, idx_local[..., None], axis=1)
@@ -765,6 +787,7 @@ def apply(
     filter_delta_correct: bool = False,
     filter_strat_stride: int = 0,
     filter_prop_attn: bool = False,
+    filter_ctx_frac: float = 0.0,
     keep_weights=None,
 ) -> jnp.ndarray:
     """Forward pass.
@@ -822,6 +845,13 @@ def apply(
         are identical (tests/test_kernels.py proportional-bias exactness);
         in general a first-order correction to the CLS-row drift that
         carries the certification tail (docs/PERF.md round-4 section).
+      filter_ctx_frac: context reserve ('@cF'): reserve fraction F of the
+        keep budget for the top tokens by RAW CLS importance, bypassing
+        the guidance priority boost (see _keep_indices). Exact no-op when
+        unguided; under guidance it guarantees the kept set carries scene
+        context even when the boosted guided tiers alone would exhaust
+        the budget — the failure mode of small keep rates in the
+        concentrated-attention regime (docs/PERF.md round-4 section).
       filter_merge: merge mode ('@m' in CLI specs): same keep set, but
         dropped tokens are ABSORBED into their most-similar kept token
         (ToMe-style) instead of frozen, and at un-filter time each dropped
@@ -927,6 +957,11 @@ def apply(
             raise ValueError(
                 "filter_delta_correct ('@d') is single-stage drop-mode "
                 "only (not composable with '@m' or progressive schedules)")
+        if not 0.0 <= filter_ctx_frac < 1.0:
+            raise ValueError(
+                f"filter_ctx_frac ('@cF') must be in [0, 1) — reserving "
+                f"the WHOLE budget for context leaves no guided slots "
+                f"(got {filter_ctx_frac})")
         if filter_prop_attn and not (filter_fuse or filter_merge):
             raise ValueError(
                 "filter_prop_attn ('@p') weights tokens by how many "
@@ -1027,13 +1062,15 @@ def apply(
             if idx_global is None:
                 if filter_merge:
                     x, idx_global, rep, sizes = _filter_tokens_merge(
-                        x, imp, keys, keep_weights, k_i)
+                        x, imp, keys, keep_weights, k_i,
+                        ctx_frac=filter_ctx_frac)
                 else:
                     x_full = x
                     x, idx_global = _filter_tokens(
                         x, imp, keep_weights, k_i,
                         fuse=filter_fuse and k_i < P,
                         fuse_groups=fuse_groups, fuse_n_groups=n_groups,
+                        ctx_frac=filter_ctx_frac,
                     )
                     if filter_delta_correct and k_i < P:
                         dc = _assign_dropped(imp, keys, keep_weights,
@@ -1052,7 +1089,8 @@ def apply(
                     imp = jnp.concatenate([imp_p, imp[:, k_prev:]], axis=1)
                 if filter_merge:
                     x, idx_local, slot_map, sizes = _refilter_tokens_merge(
-                        x, imp, keys, k_prev, kw, k_i, sizes)
+                        x, imp, keys, k_prev, kw, k_i, sizes,
+                        ctx_frac=filter_ctx_frac)
                     rep = jnp.take_along_axis(slot_map, rep, axis=1)
                 else:
                     # tokens dropped HERE freeze at their current values
@@ -1064,6 +1102,7 @@ def apply(
                     x, idx_local = _refilter_tokens(
                         x, imp, k_prev, kw, k_i, fuse=filter_fuse,
                         groups_gathered=gg, n_groups=n_groups,
+                        ctx_frac=filter_ctx_frac,
                     )
                 imp_carry = jnp.take_along_axis(
                     imp[:, :k_prev], idx_local, axis=1)

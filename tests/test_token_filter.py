@@ -948,3 +948,134 @@ def test_model_level_prop_attn():
     o1 = m1.apply(p, images, exif, rng=jax.random.PRNGKey(0))
     assert np.all(np.isfinite(np.asarray(o1.depth)))
     assert not np.allclose(np.asarray(o0.depth), np.asarray(o1.depth))
+
+
+# ---- context reserve ('@cF') --------------------------------------------
+
+
+def test_ctx_reserve_selection(setup):
+    """Budget 8, ctx_frac 0.5: 4 slots go to guided priority, 4 to raw
+    importance — scene context survives even though the boosted region
+    (10 tokens) alone would exhaust the budget."""
+    params, images = setup
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp = dinov2._cls_importance(first, x, CFG)
+    kw = np.ones((2, 16), np.float32)
+    kw[:, :10] = 5.0  # boosted disc bigger than the keep budget
+    idx = np.asarray(
+        dinov2._keep_indices(imp, jnp.asarray(kw), 8, ctx_frac=0.5))
+    imp_np = np.asarray(imp)
+    for b in range(2):
+        s = set(idx[b].tolist())
+        assert len(s) == 8 and np.all(np.diff(idx[b]) > 0)
+        prio = imp_np[b] + 10.0 * (kw[b] - 1.0)
+        guided4 = set(np.argsort(-prio)[:4].tolist())
+        assert guided4 <= s
+        # context slots = best raw-importance tokens not already kept
+        ctx4 = [i for i in np.argsort(-imp_np[b]) if i not in guided4][:4]
+        assert set(ctx4) <= s
+        # without the reserve, ALL 8 slots sit inside the boosted disc
+        base = np.asarray(
+            dinov2._keep_indices(imp, jnp.asarray(kw), 8))[b]
+        assert set(base.tolist()) <= set(range(10))
+
+
+def test_ctx_reserve_unguided_noop(setup):
+    """With no guidance (keep_weights None or all-ones) the reserve is an
+    exact no-op: both top_k calls read the same ranking."""
+    params, images = setup
+    x = dinov2._embed(params, images, CFG, jnp.float32)
+    first = jax.tree.map(lambda a: a[0], params["layers"])
+    imp = dinov2._cls_importance(first, x, CFG)
+    base = np.asarray(dinov2._keep_indices(imp, None, 6))
+    assert np.array_equal(
+        np.asarray(dinov2._keep_indices(imp, None, 6, ctx_frac=0.5)), base)
+    ones = jnp.ones_like(imp)
+    assert np.array_equal(
+        np.asarray(dinov2._keep_indices(imp, ones, 6, ctx_frac=0.5)), base)
+    # end-to-end: unguided filtered forward identical with/without @c
+    o0 = dinov2.apply(params, images, CFG, filter_layer=2, filter_keep=0.25)
+    o1 = dinov2.apply(params, images, CFG, filter_layer=2, filter_keep=0.25,
+                      filter_ctx_frac=0.5)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_ctx_reserve_guided_changes_output(setup):
+    params, images = setup
+    kw = np.ones((2, 16), np.float32)
+    kw[:, :10] = 5.0
+    o0 = dinov2.apply(params, images, CFG, filter_layer=2, filter_keep=0.25,
+                      keep_weights=jnp.asarray(kw))
+    o1 = dinov2.apply(params, images, CFG, filter_layer=2, filter_keep=0.25,
+                      filter_ctx_frac=0.5, keep_weights=jnp.asarray(kw))
+    assert np.all(np.isfinite(np.asarray(o1)))
+    assert not np.allclose(np.asarray(o0), np.asarray(o1))
+
+
+def test_ctx_reserve_validation(setup):
+    params, images = setup
+    with pytest.raises(ValueError, match="ctx_frac"):
+        dinov2.apply(params, images, CFG, filter_layer=2, filter_keep=0.25,
+                     filter_ctx_frac=1.0)
+
+
+def test_ctx_reserve_composes_with_merge_and_progressive(setup):
+    params, images = setup
+    kw = jnp.asarray(np.where(np.arange(16)[None] < 10, 5.0, 1.0)
+                     * np.ones((2, 16), np.float32))
+    om = dinov2.apply(params, images, CFG, filter_layer=2, filter_keep=0.5,
+                      filter_merge=True, filter_ctx_frac=0.5,
+                      keep_weights=kw)
+    assert om.shape == (2, 17, 64) and np.all(np.isfinite(np.asarray(om)))
+    op = dinov2.apply(params, images, CFG,
+                      filter_schedule=((1, 0.75), (2, 0.5)),
+                      filter_ctx_frac=0.5, keep_weights=kw)
+    assert op.shape == (2, 17, 64) and np.all(np.isfinite(np.asarray(op)))
+
+
+def test_parse_token_filter_ctx():
+    from cognitive_aim_tpu.models.config import parse_token_filter
+
+    out = parse_token_filter("2:0.25@c0.33")
+    assert out["token_filter_layer"] == 2
+    assert out["token_filter_keep"] == 0.25
+    assert out["token_filter_ctx_frac"] == 0.33
+    out = parse_token_filter("2:0.25@c0.5@p")
+    assert out["token_filter_ctx_frac"] == 0.5
+    assert out["token_filter_prop_attn"] is True
+
+
+def test_model_level_ctx_reserve():
+    """token_filter_ctx_frac threads from ModelArchConfig through the full
+    guided forward (the guidance mask supplies keep_weights)."""
+    from cognitive_aim_tpu.models.cognitive_aim import CognitiveAimModel
+    from cognitive_aim_tpu.models.config import ModelArchConfig
+
+    vit = dinov2.DinoV2Config(hidden_size=64, num_layers=4, num_heads=4,
+                              pretrain_image_size=56, patch_size=14)
+    kw = dict(num_iterations=1, image_size=56, num_cameras=4)
+    exif = {
+        "camera_idx": jnp.zeros((2,), jnp.int32),
+        "focal_length": jnp.full((2,), 0.25),
+        "aperture": jnp.full((2,), 0.127),
+        "iso": jnp.full((2,), 0.016),
+    }
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    m0 = CognitiveAimModel(
+        ModelArchConfig(token_filter_layer=2, token_filter_keep=0.25, **kw),
+        vit_cfg=vit)
+    p = m0.init(jax.random.PRNGKey(0))
+    m1 = CognitiveAimModel(
+        ModelArchConfig(token_filter_layer=2, token_filter_keep=0.25,
+                        token_filter_ctx_frac=0.5, **kw),
+        vit_cfg=vit)
+    g = jnp.zeros((2,), jnp.int32)  # 'center'
+    o0 = m0.apply(p, images, exif, guidance=g, rng=jax.random.PRNGKey(0))
+    o1 = m1.apply(p, images, exif, guidance=g, rng=jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(o1.depth)))
+    assert not np.allclose(np.asarray(o0.depth), np.asarray(o1.depth))
+    # unguided: @c must be a no-op
+    u0 = m0.apply(p, images, exif, rng=jax.random.PRNGKey(0))
+    u1 = m1.apply(p, images, exif, rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(u0.depth), np.asarray(u1.depth))
