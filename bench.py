@@ -161,14 +161,16 @@ def main():
 
     # Secondary: the fast operating point
     # (eval_configs/full_cognitive_fast_tpu.yaml, token filter 2:0.25).
-    # Its gt-metric AbsRel parity is TYPICAL-CASE only on the synthetic
-    # grid (median 0.83%, 6/8 cells within 1%, seed-idiosyncratic tail
-    # max 2.59% — docs/PERF.md "8-cell extension"), so the HEADLINE
-    # value stays the exact path, whose parity (int8 alone, worst
-    # instruction 0.047%) is certified 20x inside the budget. The fast
-    # number rides in `fast_value` with an explicit machine-readable
-    # `parity` block so the one-line JSON can never be read as "north
-    # star met" without the caveat.
+    # Round 4 measured its parity in the concentrated-attention regime
+    # (long procedural pretrains whose CLS attention statistics match
+    # deployment, docs/PERF.md round-4 δ-grid section) and the round-3
+    # "typical-case" claim was REFUTED for guided use: worst-instruction
+    # gt-gap 10-78% across four independent concentrated checkpoints,
+    # vs 0.6-2.0% unguided. The HEADLINE value stays the exact path,
+    # whose parity (int8 alone, worst instruction 0.047%) is certified
+    # 20x inside the budget. The fast number rides in `fast_value` with
+    # an explicit machine-readable `parity` block so the one-line JSON
+    # can never be read as "north star met" without the caveat.
     fast = 0.0
     if (not args.exact_only and not args.token_filter
             and args.backbone == "base" and args.size == 518 and best > 0):
@@ -204,10 +206,11 @@ def main():
                            " (token filter 2:0.25)",
         })
         result["parity"]["fast"] = (
-            "gt-metric AbsRel gap vs exact: median 0.83%, 6/8 cells <=1%,"
-            " max 2.59% on the synthetic proxy — typical-case only;"
-            " worst-case-over-seeds UNCERTIFIED (docs/PERF.md"
-            " '8-cell extension')")
+            "REFUTED for guided use in the measured concentrated-"
+            "attention regime: worst-instruction gt-gap 10-78% across 4"
+            " concentrated checkpoints (0.6-2.0% unguided) — do NOT ship"
+            " the token filter for guided inference; docs/PERF.md"
+            " round-4 δ-grid section")
     print(json.dumps(result))
 
 

@@ -216,7 +216,9 @@ def _flash_packed_bias_fwd_only(q, k, v, k_bias, scale: float, num_heads: int,
     B, N, HD = q.shape
     D = HD // num_heads
     if HD >= 1024:
-        cap = 288
+        # follows the dinov2 scan's ViT-L unroll default — see the
+        # rationale at the packed (no-bias) call site below
+        cap = 288 if os.environ.get("CAIM_SCAN_UNROLL") == "1" else 352
     else:
         cap = 480 if B <= 8 else 352
     q_block = (q_block or int(os.environ.get("CAIM_FLASH_QB", "0"))
@@ -605,10 +607,15 @@ def _flash_packed_fwd_only(q, k, v, scale: float, num_heads: int,
     # At HD >= 1024 (ViT-L) the resident K/V double, so the cap drops.
     # 288 (5 blocks at N=1370) beats the earlier 256 (6 blocks) end-to-end
     # — fewer, larger programs pipeline better despite 5% vs 1.6% row
-    # padding; 352 regresses on VMEM pressure (scripts/bench_vitl_sweep.py,
-    # docs/PERF.md ViT-L block retune).
+    # padding. 352 regresses on VMEM pressure at scan unroll 1 (122.6
+    # img/s) but WINS at the ViT-L default unroll 2 (155.4 vs 152.6):
+    # unrolling lets XLA pipeline the adjacent layer's DMAs over the
+    # stall (scripts/bench_vitl_sweep.py, docs/PERF.md round-4 ViT-L
+    # sweep). The default follows the dinov2 scan's unroll default
+    # (2 at D>=1024); force CAIM_FLASH_QB=288 if running ViT-L with
+    # CAIM_SCAN_UNROLL=1.
     if HD >= 1024:
-        cap = 288
+        cap = 288 if os.environ.get("CAIM_SCAN_UNROLL") == "1" else 352
     else:
         cap = 480 if B <= 8 else 352
     q_block = (q_block or int(os.environ.get("CAIM_FLASH_QB", "0"))

@@ -870,9 +870,14 @@ def apply(
         # retune knob (more, smaller kernel programs at D=1024 pay
         # per-program overhead; see docs/PERF.md ViT-L ceiling). A/B via
         # scripts/bench_vitl_sweep.py --env CAIM_SCAN_UNROLL=2.
+        # ViT-L (D>=1024) defaults to 2: the round-4 sweep measured
+        # unroll2 + flash qb352 at 155.4 vs 152.6 img/s — unrolling is
+        # what converts the larger flash block from a VMEM-scheduling
+        # loss into the best point (docs/PERF.md round-4 ViT-L sweep).
         import os as _os
 
-        unroll = int(_os.environ.get("CAIM_SCAN_UNROLL", "1"))
+        default = "2" if cfg.hidden_size >= 1024 else "1"
+        unroll = int(_os.environ.get("CAIM_SCAN_UNROLL", default))
     x = _embed(params, images, cfg, compute_dtype)
 
     def _cast(a):

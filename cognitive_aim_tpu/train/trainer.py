@@ -264,8 +264,13 @@ class Trainer:
         model = model if model is not None else self.model
 
         def loss_fn(params, batch, rng, curiosity_on, kl_w):
-            guidance = None
-            if cfg.guided_training:
+            # per-sample guidance: an explicit batch['guidance'] (int32 [B]
+            # instruction indices paired with instruction-DEPENDENT labels,
+            # e.g. the aimed procedural law) wins; otherwise guided_training
+            # samples a uniform instruction per sample per step (labels
+            # instruction-invariant).
+            guidance = batch.get("guidance")
+            if guidance is None and cfg.guided_training:
                 from cognitive_aim_tpu.models import guidance as G
 
                 grng, rng = jax.random.split(rng)
@@ -344,6 +349,14 @@ class Trainer:
         batch = {
             "images": jnp.asarray(batch["images"], jnp.float32),
             "depths": jnp.asarray(batch["depths"], jnp.float32),
+            **(
+                # per-sample instruction indices (int32 [B]) paired with
+                # instruction-DEPENDENT labels — overrides guided_training's
+                # per-step sampling in the loss (see _build_step)
+                {"guidance": jnp.asarray(batch["guidance"], jnp.int32)}
+                if "guidance" in batch
+                else {}
+            ),
             **(
                 {"exif": {k: jnp.asarray(v) for k, v in batch["exif"].items()}}
                 if "exif" in batch

@@ -31,7 +31,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # (docs/PERF.md ViT-L ceiling analysis): scan unroll exposes layer-pair
 # boundaries to XLA so adjacent kernels' DMAs can overlap.
 POINTS = [
+    # since the round-4 default flip, {} = unroll2 + flash qb352 at
+    # D>=1024; "old_defaults" pins the round-3 pairing (unroll1 + qb288)
     ("baseline", {}),
+    ("old_defaults", {"CAIM_SCAN_UNROLL": "1"}),
     ("unroll2", {"CAIM_SCAN_UNROLL": "2"}),
     ("unroll3", {"CAIM_SCAN_UNROLL": "3"}),
     ("unroll2_qb352", {"CAIM_SCAN_UNROLL": "2", "CAIM_FLASH_QB": "352"}),

@@ -32,7 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 from policy_delta import synth_images  # noqa: E402
-from procedural_scenes import gen_procedural  # noqa: E402
+from procedural_scenes import (  # noqa: E402
+    gen_procedural,
+    gen_procedural_aimed,
+)
 from train_synth_ckpt import LAWS, run_training, stage_batches  # noqa: E402
 
 EVAL_SEED = 12345  # eval images fixed across runs for comparability
@@ -254,11 +257,15 @@ def main():
     eval_seed_loaded = None
     proc_eval = None  # lazy: (device batches, gt) for the 'proc' law
 
-    def build_eval_proc():
-        """Eval set for the procedural law: images AND ground truth come
+    def build_eval_proc(law="proc"):
+        """Eval set for the procedural laws: images AND ground truth come
         from the generator (depth is a scene parameter, not a pixel
-        statistic — scripts/procedural_scenes.py)."""
-        e01, gt = gen_procedural(args.n_eval, eval_size, EVAL_SEED)
+        statistic — scripts/procedural_scenes.py). For 'proca' the gt is
+        [n, 9] per-instruction depths (aimed-at-target semantics)."""
+        if law == "proca":
+            e01, gt = gen_procedural_aimed(args.n_eval, eval_size, EVAL_SEED)
+        else:
+            e01, gt = gen_procedural(args.n_eval, eval_size, EVAL_SEED)
         norm = ((e01 - np.asarray(IMAGENET_MEAN, np.float32))
                 / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
         dev = [jnp.asarray(norm[s:s + EB])
@@ -332,11 +339,21 @@ def main():
         gt_table = None
         if gt is not None:
             gt = np.asarray(gt, np.float64)
+
+            def _gt_col(g):
+                # 'proca': [n, 9] per-instruction depths; 'unguided' is
+                # scored against the 'center' column (the reference CLI's
+                # default instruction, ref:demo.py:635)
+                if gt.ndim == 2:
+                    i = 0 if g == "unguided" else G.INSTRUCTIONS.index(g)
+                    return gt[:, i]
+                return gt
+
             gt_table = {}
             for name in depths:
                 gt_table[name] = {
-                    g: float(np.mean(np.abs(depths[name][g] - gt)
-                                     / np.maximum(np.abs(gt), 1e-6)))
+                    g: float(np.mean(np.abs(depths[name][g] - _gt_col(g))
+                                     / np.maximum(np.abs(_gt_col(g)), 1e-6)))
                     for g in gnames
                 }
         return table, gt_table
@@ -375,6 +392,12 @@ def main():
         else:
             params0 = model.init(jax.random.PRNGKey(seed))
             trainer.reset_params(params0)
+            if law == "proca":
+                raise SystemExit(
+                    "law 'proca' trains with per-sample (instruction, "
+                    "label) pairs — produce the checkpoint with "
+                    "scripts/pretrain_procedural.py --aimed, then run "
+                    "this sweep with --measure-only")
             if law in ("proc", "procg"):
                 # short procedural cells CAN train here, but the regime
                 # experiment wants thousands of steps on thousands of
@@ -394,10 +417,10 @@ def main():
             np.savez(ckpt, **flatten_tree(trained))
         p_f32 = jax.device_put(trained)
         p_int8 = model.prepare_params(trained)
-        if law in ("proc", "procg"):
-            if proc_eval is None:
-                proc_eval = build_eval_proc()
-            ev_local, gt = proc_eval
+        if law in ("proc", "procg", "proca"):
+            if proc_eval is None or proc_eval[0] != law:
+                proc_eval = (law, build_eval_proc(law))
+            ev_local, gt = proc_eval[1]
         else:
             if args.eval_on_train and eval_seed_loaded != seed:
                 eval01, eval_dev = build_eval(seed)

@@ -35,7 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-from procedural_scenes import gen_procedural_u8  # noqa: E402
+from procedural_scenes import (  # noqa: E402
+    gen_procedural_aimed_u8,
+    gen_procedural_u8,
+)
 
 
 def main():
@@ -63,13 +66,40 @@ def main():
                          "so this teaches prediction ROBUSTNESS under "
                          "instruction modulation). Without it, guided "
                          "evaluation of these weights is off-distribution: "
-                         "the unguided seed-0 checkpoint holds 1.74% "
-                         "held-out AbsRel unguided but ~30% under any "
+                         "the unguided seed-0 checkpoint holds 1.74%% "
+                         "held-out AbsRel unguided but ~30%% under any "
                          "instruction, which makes the guided δ grid "
                          "meaningless on unguided-trained proc weights. "
                          "Checkpoint name uses law 'procg' "
                          "(delta_sweep.py --laws procg).")
+    ap.add_argument("--aimed", action="store_true",
+                    help="AIMED pretrain (law 'proca'): scenes carry 3 ring "
+                         "targets at different depths and the label is the "
+                         "depth of the target nearest the sampled "
+                         "instruction's anchor — the instruction-DEPENDENT "
+                         "task matching the reference's semantics ('how far "
+                         "is the thing I'm aiming at'). Instruction sampled "
+                         "per sample per step inside the jitted step, label "
+                         "gathered to match; flip augmentation disabled "
+                         "(labels aren't flip-invariant).")
+    ap.add_argument("--train-filter", type=str, default="",
+                    help="filter-aware finetune: run the token filter on "
+                         "EVEN steps and the exact path on ODD steps "
+                         "(sandwich-style, the trainer's alt_model "
+                         "mechanism) so attention learns to survive the "
+                         "drop while the weights stay native to both "
+                         "paths. Meant with --init-from on a concentrated "
+                         "checkpoint: the deployment-realistic rescue for "
+                         "the concentrated-regime filter collapse "
+                         "(docs/PERF.md round-4 section). Checkpoint name "
+                         "gains a _tf<spec> suffix.")
+    ap.add_argument("--init-from", type=str, default="",
+                    help="warm-start params from this .npz checkpoint "
+                         "instead of random init (fresh optimizer state)")
     args = ap.parse_args()
+    if args.aimed and args.guided:
+        ap.error("--aimed and --guided are mutually exclusive "
+                 "(aimed is guided-native by construction)")
 
     import jax
     import jax.numpy as jnp
@@ -83,28 +113,38 @@ def main():
     S, B = args.image_size, args.batch
     os.makedirs(args.ckpt_dir, exist_ok=True)
     os.makedirs(args.data_cache, exist_ok=True)
-    law = "procg" if args.guided else "proc"
+    law = "proca" if args.aimed else ("procg" if args.guided else "proc")
+    gen = gen_procedural_aimed_u8 if args.aimed else gen_procedural_u8
+    tag = "aimed_" if args.aimed else ""
+    # SAME naming scheme as delta_sweep.py builds for alternate-mode
+    # train-filter cells, so `delta_sweep.py --measure-only --train-filter
+    # <spec> --train-filter-mode alternate --steps <N>` finds this ckpt
+    tf_tag = ""
+    if args.train_filter:
+        tf_tag = "_tf" + args.train_filter.replace(":", "-") \
+                                          .replace(",", "_") \
+                                          .replace("@", "r") + "_alt"
     out = os.path.join(args.ckpt_dir,
-                       f"s{args.seed}_{law}_{args.steps}_i{S}.npz")
+                       f"s{args.seed}_{law}_{args.steps}_i{S}{tf_tag}.npz")
 
     # ------------------------------------------------------------- data ----
     cache = os.path.join(args.data_cache,
-                         f"train_s{args.seed}_n{args.n_images}_{S}.npz")
+                         f"train_{tag}s{args.seed}_n{args.n_images}_{S}.npz")
     t0 = time.perf_counter()
     if os.path.exists(cache):
         z = np.load(cache)
         u8, depths = z["u8"], z["depths"]
     else:
-        u8, depths = gen_procedural_u8(args.n_images, S, args.seed)
+        u8, depths = gen(args.n_images, S, args.seed)
         np.savez(cache, u8=u8, depths=depths)
     # held-out eval from a disjoint seed space
     ecache = os.path.join(args.data_cache,
-                          f"eval_n{args.n_eval}_{S}.npz")
+                          f"eval_{tag}n{args.n_eval}_{S}.npz")
     if os.path.exists(ecache):
         z = np.load(ecache)
         eu8, ed = z["u8"], z["depths"]
     else:
-        eu8, ed = gen_procedural_u8(args.n_eval, S, 90000)
+        eu8, ed = gen(args.n_eval, S, 90000)
         np.savez(ecache, u8=eu8, depths=ed)
     print(f"data ready in {time.perf_counter() - t0:.0f}s "
           f"({args.n_images} train + {args.n_eval} eval @{S}²)", flush=True)
@@ -122,15 +162,37 @@ def main():
         vit = dataclasses.replace(BASE, **kw)
 
     # same arch/recipe as the 518-native certification cells
-    # (scripts/delta_sweep.py) so the only variable is the DATA REGIME
+    # (scripts/delta_sweep.py) so the only variable is the DATA REGIME.
+    # With --train-filter the PRIMARY model runs the filter (kept active
+    # in training via token_filter_train) and the alt model is the exact
+    # path — the trainer's sandwich alternation, mirrored manually in the
+    # u8 loop below.
+    from cognitive_aim_tpu.models.config import parse_token_filter
+
+    tf_kw = parse_token_filter(args.train_filter)
+    if tf_kw:
+        tf_kw["token_filter_train"] = True
     arch = ModelArchConfig(num_iterations=6, image_size=S,
-                           freeze_backbone=False, use_lora=False)
+                           freeze_backbone=False, use_lora=False, **tf_kw)
     model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
-    params = model.init(jax.random.PRNGKey(args.seed))
+    alt_model = None
+    if tf_kw:
+        alt_model = CognitiveAimModel(
+            ModelArchConfig(num_iterations=6, image_size=S,
+                            freeze_backbone=False, use_lora=False),
+            attn_impl="pallas_packed", vit_cfg=vit)
+    if args.init_from:
+        from cognitive_aim_tpu.api import unflatten_npz
+
+        params = unflatten_npz(np.load(args.init_from))
+        print(f"warm-start from {args.init_from}", flush=True)
+    else:
+        params = model.init(jax.random.PRNGKey(args.seed))
     cfg = TrainConfig(epochs=1, batch_size=B, steps_per_epoch=args.steps,
                       learning_rate=args.lr, freeze_backbone=False,
                       guided_training=args.guided)
-    tr = Trainer(model, params, cfg, output_dir="/tmp/pretrain_proc_out")
+    tr = Trainer(model, params, cfg, output_dir="/tmp/pretrain_proc_out",
+                 alt_model=alt_model)
 
     mean = jnp.asarray(np.asarray(IMAGENET_MEAN, np.float32))
     std = jnp.asarray(np.asarray(IMAGENET_STD, np.float32))
@@ -139,17 +201,35 @@ def main():
         return ((x_u8.astype(jnp.float32) / 255.0) - mean) / std
 
     # u8-staged step: normalize + random flip augmentation INSIDE the jit
-    # (the target's apparent size — hence the label — is flip-invariant)
-    def step_u8(p, o, u8b, d, e, key, cur_on, kl_w):
-        fkey, key = jax.random.split(key)
-        fh, fv = jax.random.bernoulli(fkey, 0.5, (2,))
-        x = _norm(u8b)
-        x = jnp.where(fh, x[:, :, ::-1], x)
-        x = jnp.where(fv, x[:, ::-1], x)
-        return tr._step_fn(p, o, {"images": x, "depths": d, "exif": e},
-                           key, cur_on, kl_w)
+    # (the target's apparent size — hence the label — is flip-invariant).
+    # AIMED: no flips (the label follows the instruction's anchor, which a
+    # flip would swap); instruction sampled per sample per step and the
+    # matching label gathered from the [B, 9] per-instruction depths.
+    def make_step(step_fn):
+        def step_u8(p, o, u8b, d, e, key, cur_on, kl_w):
+            x = _norm(u8b)
+            batch = {"images": x, "exif": e}
+            if args.aimed:
+                gkey, key = jax.random.split(key)
+                g = jax.random.randint(gkey, (x.shape[0],), 0, 9)
+                batch["guidance"] = g
+                batch["depths"] = jnp.take_along_axis(
+                    d, g[:, None], axis=1)[:, 0]
+            else:
+                fkey, key = jax.random.split(key)
+                fh, fv = jax.random.bernoulli(fkey, 0.5, (2,))
+                x = jnp.where(fh, x[:, :, ::-1], x)
+                x = jnp.where(fv, x[:, ::-1], x)
+                batch["images"] = x
+                batch["depths"] = d
+            return step_fn(p, o, batch, key, cur_on, kl_w)
 
-    step_u8 = jax.jit(step_u8, donate_argnums=(0, 1))
+        return jax.jit(step_u8, donate_argnums=(0, 1))
+
+    step_u8 = make_step(tr._step_fn)
+    # sandwich alternation: filtered (primary) on even steps, exact (alt)
+    # on odd — same parity convention as Trainer.train_step
+    step_u8_alt = make_step(tr._alt_step_fn) if alt_model else None
 
     # stage the full training set on device as uint8
     n_batches = args.n_images // B
@@ -170,7 +250,10 @@ def main():
           f"({args.n_images * S * S * 3 / 1e9:.1f} GB) in "
           f"{time.perf_counter() - t0:.0f}s", flush=True)
 
-    eval_fn = jax.jit(lambda p, x8, e, k: tr.model.apply(
+    # held-out eval always scores the EXACT path (the filter is a
+    # train-time regularizer here, not the eval subject)
+    eval_model = alt_model if alt_model is not None else tr.model
+    eval_fn = jax.jit(lambda p, x8, e, k: eval_model.apply(
         p, _norm(x8), e, rng=k))
     eb = min(args.n_eval, 16)
     eval_staged = [jnp.asarray(eu8[s:s + eb])
@@ -186,10 +269,13 @@ def main():
         outs = [eval_fn(p, xb, eexif, jax.random.PRNGKey(0)).depth[:, 0]
                 for xb in eval_staged]
         pred = np.asarray(jnp.concatenate(outs), np.float64)
-        gt = ed.astype(np.float64)
+        # aimed: the unguided path has no defined label; score against the
+        # 'center' column (the reference CLI's default instruction,
+        # ref:demo.py:635) as a proxy
+        gt = (ed[:, 0] if ed.ndim == 2 else ed).astype(np.float64)
         return float(np.mean(np.abs(pred - gt) / np.maximum(gt, 1e-6)))
 
-    geval_fn = jax.jit(lambda p, x8, e, k, g: tr.model.apply(
+    geval_fn = jax.jit(lambda p, x8, e, k, g: eval_model.apply(
         p, _norm(x8), e, guidance=g, rng=k))
 
     def held_out_absrel_guided(p):
@@ -199,9 +285,9 @@ def main():
         unguided number."""
         from cognitive_aim_tpu.models import guidance as G
 
-        gt = ed.astype(np.float64)
         worst = 0.0
         for gi in range(len(G.INSTRUCTIONS)):
+            gt = (ed[:, gi] if ed.ndim == 2 else ed).astype(np.float64)
             gvec = jnp.asarray(np.full(eb, gi, np.int32))
             outs = [geval_fn(p, xb, eexif, jax.random.PRNGKey(0),
                              gvec).depth[:, 0] for xb in eval_staged]
@@ -220,7 +306,9 @@ def main():
     for step in range(args.steps):
         u8b, d = staged[order[step]]
         key = jax.random.PRNGKey(step)
-        p, o, lg = step_u8(p, o, u8b, d, exif, key, cur_on, kl_w)
+        fn = (step_u8 if step_u8_alt is None or step % 2 == 0
+              else step_u8_alt)
+        p, o, lg = fn(p, o, u8b, d, exif, key, cur_on, kl_w)
         if step % 100 == 0 or step == args.steps - 1:
             print(f"step {step}: loss={float(lg['loss']):.4f} "
                   f"({time.perf_counter() - t0:.0f}s)", flush=True)
@@ -228,7 +316,7 @@ def main():
             ar = held_out_absrel(p)
             msg = (f"  held-out AbsRel @step {step + 1}: {ar * 100:.2f}% "
                    f"(memorizing 400-step cells sit at ~36%)")
-            if args.guided:
+            if args.guided or args.aimed:
                 gar = held_out_absrel_guided(p)
                 msg += f"  worst-instruction guided: {gar * 100:.2f}%"
             print(msg, flush=True)

@@ -73,8 +73,16 @@ def main():
     params = jax.device_put(unflatten_npz(np.load(args.checkpoint)))
     bb = params["backbone"]
 
-    imgs01 = synth_images(args.n, S, 12345)  # delta_sweep's EVAL_SEED
-    gt = LAWS[args.law](imgs01).astype(np.float64)
+    if args.law in ("proc", "procg"):
+        # round-4 concentrated-regime collapse: same generator + EVAL_SEED
+        # as the delta_procg_* grids, gt is a scene parameter
+        from procedural_scenes import gen_procedural
+
+        imgs01, gt = gen_procedural(args.n, S, 12345)
+        gt = gt.astype(np.float64)
+    else:
+        imgs01 = synth_images(args.n, S, 12345)  # delta_sweep's EVAL_SEED
+        gt = LAWS[args.law](imgs01).astype(np.float64)
     norm = ((imgs01 - np.asarray(IMAGENET_MEAN, np.float32))
             / np.asarray(IMAGENET_STD, np.float32)).astype(np.float32)
     batches = [jnp.asarray(norm[s:s + args.batch])

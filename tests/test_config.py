@@ -76,11 +76,12 @@ def test_all_shipped_yamls_resolve():
 
 
 def test_fast_tpu_config_resolves_certified_point():
-    """The framework-added fast config must resolve to the round-3
-    certified operating point: 518 eval, 2 focal iterations, token filter
-    2:0.25 with the fused context token (docs/PERF.md 6-cell
-    certification — the progressive schedule failed the gt budget on the
-    third seed's ring cell and is NOT the shipped spec)."""
+    """The framework-added fast config must resolve to the round-3 fast
+    operating point: 518 eval, 2 focal iterations, token filter 2:0.25
+    with the fused context token. (Round 4 REFUTED this spec's guided
+    parity in the concentrated-attention regime — the yaml now documents
+    it as unguided/experimental — but the resolver contract is
+    unchanged: these keys must keep resolving exactly.)"""
     raw = load("eval_configs/full_cognitive_fast_tpu.yaml")
     for lookup in ("reference", "nested"):
         a = resolve_model_config(raw, lookup=lookup)

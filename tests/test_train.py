@@ -160,6 +160,54 @@ def test_guided_training_step_with_train_filter():
     assert losses[-1] != losses[0]
 
 
+def test_explicit_batch_guidance_wins_over_sampling():
+    """An explicit batch['guidance'] (int32 [B] instruction indices paired
+    with instruction-DEPENDENT labels, e.g. the aimed procedural law) must
+    drive the forward directly and SKIP guided_training's per-step
+    instruction sampling: with the same rng, a guided_training=True step
+    and a guided_training=False step given the same explicit vector must
+    produce bit-identical losses (the sampling branch would consume an
+    rng split and a random instruction, shifting both)."""
+    model, params = tiny_model()
+    kw = dict(
+        learning_rate=3e-3, epochs=1, batch_size=8, steps_per_epoch=5,
+        freeze_backbone=False, weight_decay=0.0,
+        curiosity_weight=0.0, curiosity_warmup_epochs=10,
+    )
+    batch = synth_batch()
+    batch["guidance"] = np.arange(8, dtype=np.int32) % 9
+
+    # each Trainer gets its OWN copy of the params: the jitted step
+    # donates the param buffers, so sharing one pytree across trainers
+    # would read deleted arrays on the second trainer's first step
+    def fresh():
+        return jax.tree.map(lambda a: jnp.array(a), params)
+
+    cfg_on = TrainConfig(guided_training=True, **kw)
+    cfg_off = TrainConfig(guided_training=False, **kw)
+    tr_a = Trainer(model, fresh(), cfg_on, output_dir="/tmp/cat_test_bg_a")
+    tr_b = Trainer(model, fresh(), cfg_off, output_dir="/tmp/cat_test_bg_b")
+    la = tr_a.train_step(batch, jax.random.PRNGKey(0))["loss"]
+    lb = tr_b.train_step(batch, jax.random.PRNGKey(0))["loss"]
+    assert np.isfinite(la) and np.isfinite(lb)
+    np.testing.assert_allclose(la, lb, rtol=1e-6)
+
+    # and a DIFFERENT explicit guidance vector changes the loss (the
+    # indices actually reach the guided forward)
+    batch2 = dict(batch, guidance=(np.arange(8, dtype=np.int32) + 4) % 9)
+    tr_c = Trainer(model, fresh(), cfg_on, output_dir="/tmp/cat_test_bg_c")
+    lc = tr_c.train_step(batch2, jax.random.PRNGKey(0))["loss"]
+    assert abs(lc - la) > 1e-9
+
+    # without the explicit vector, guided_training samples instructions
+    # from the step rng — removing it shifts the loss (the behavior the
+    # explicit path overrides)
+    nb = {k: v for k, v in batch.items() if k != "guidance"}
+    tr_d = Trainer(model, fresh(), cfg_on, output_dir="/tmp/cat_test_bg_d")
+    ld = tr_d.train_step(nb, jax.random.PRNGKey(0))["loss"]
+    assert abs(ld - la) > 1e-9
+
+
 def test_alternating_filter_training_step():
     """alt_model: filtered and exact variants trained on alternating steps
     (sandwich-style) so the weights stay native to both paths — always-on
