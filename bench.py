@@ -163,14 +163,17 @@ def main():
     # (eval_configs/full_cognitive_fast_tpu.yaml, token filter 2:0.25).
     # Round 4 measured its parity in the concentrated-attention regime
     # (long procedural pretrains whose CLS attention statistics match
-    # deployment, docs/PERF.md round-4 δ-grid section) and the round-3
-    # "typical-case" claim was REFUTED for guided use: worst-instruction
-    # gt-gap 10-78% across four independent concentrated checkpoints,
-    # vs 0.6-2.0% unguided. The HEADLINE value stays the exact path,
-    # whose parity (int8 alone, worst instruction 0.047%) is certified
-    # 20x inside the budget. The fast number rides in `fast_value` with
-    # an explicit machine-readable `parity` block so the one-line JSON
-    # can never be read as "north star met" without the caveat.
+    # deployment, docs/PERF.md round-4 δ-grid section): on RAW weights
+    # the guided filter is REFUTED (worst-instruction gt-gap 10-78%
+    # across four concentrated checkpoints, vs 0.6-2.0% unguided), but a
+    # 600-step filter-aware sandwich finetune certifies it — worst
+    # gt-gap +0.88% over 3 seeds x 9 instructions, inside the 1% budget
+    # — so the operating point is RECIPE-CONDITIONAL. The HEADLINE value
+    # stays the exact path, whose parity (int8 alone, worst instruction
+    # 0.047%) is certified unconditionally, 20x inside the budget. The
+    # fast number rides in `fast_value` with an explicit machine-readable
+    # `parity` block so the one-line JSON can never be read as "north
+    # star met" without the condition.
     fast = 0.0
     if (not args.exact_only and not args.token_filter
             and args.backbone == "base" and args.size == 518 and best > 0):
@@ -206,11 +209,12 @@ def main():
                            " (token filter 2:0.25)",
         })
         result["parity"]["fast"] = (
-            "REFUTED for guided use in the measured concentrated-"
-            "attention regime: worst-instruction gt-gap 10-78% across 4"
-            " concentrated checkpoints (0.6-2.0% unguided) — do NOT ship"
-            " the token filter for guided inference; docs/PERF.md"
-            " round-4 δ-grid section")
+            "RECIPE-CONDITIONAL: certified in the concentrated-attention"
+            " regime ONLY with filter-aware sandwich-finetuned weights"
+            " (600 steps alternating filtered/exact): worst-instruction"
+            " gt-gap +0.88% over 3 seeds x 9 instructions, inside the 1%"
+            " budget. On raw weights the guided filter is REFUTED"
+            " (gt-gap 10-78%); docs/PERF.md round-4 sections")
     print(json.dumps(result))
 
 
