@@ -93,10 +93,21 @@ def main():
                          "the concentrated-regime filter collapse "
                          "(docs/PERF.md round-4 section). Checkpoint name "
                          "gains a _tf<spec> suffix.")
+    ap.add_argument("--filter-every", type=int, default=2,
+                    help="with --train-filter: run the FILTERED step once "
+                         "every N steps and the exact step on the rest "
+                         "(2 = the 1:1 sandwich; 4 = 1 filtered : 3 exact "
+                         "— more exact steps to cut the sandwich's "
+                         "exact-path quality cost). Values != 2 add an "
+                         "_e<N> suffix to the checkpoint name.")
     ap.add_argument("--init-from", type=str, default="",
                     help="warm-start params from this .npz checkpoint "
                          "instead of random init (fresh optimizer state)")
     args = ap.parse_args()
+    if args.filter_every < 2:
+        ap.error("--filter-every must be >= 2 (1 would never run the "
+                 "exact path; use delta_sweep --train-filter-mode always "
+                 "for the always-on regime, measured worse in round 3)")
     if args.aimed and args.guided:
         ap.error("--aimed and --guided are mutually exclusive "
                  "(aimed is guided-native by construction)")
@@ -124,6 +135,8 @@ def main():
         tf_tag = "_tf" + args.train_filter.replace(":", "-") \
                                           .replace(",", "_") \
                                           .replace("@", "r") + "_alt"
+        if args.filter_every != 2:
+            tf_tag += f"_e{args.filter_every}"
     out = os.path.join(args.ckpt_dir,
                        f"s{args.seed}_{law}_{args.steps}_i{S}{tf_tag}.npz")
 
@@ -306,7 +319,8 @@ def main():
     for step in range(args.steps):
         u8b, d = staged[order[step]]
         key = jax.random.PRNGKey(step)
-        fn = (step_u8 if step_u8_alt is None or step % 2 == 0
+        fn = (step_u8
+              if step_u8_alt is None or step % args.filter_every == 0
               else step_u8_alt)
         p, o, lg = fn(p, o, u8b, d, exif, key, cur_on, kl_w)
         if step % 100 == 0 or step == args.steps - 1:
