@@ -160,20 +160,23 @@ def main():
             break
 
     # Secondary: the fast operating point
-    # (eval_configs/full_cognitive_fast_tpu.yaml, token filter 2:0.25).
+    # (eval_configs/full_cognitive_fast_tpu.yaml, token filter 2:0.35).
     # Round 4 measured its parity in the concentrated-attention regime
     # (long procedural pretrains whose CLS attention statistics match
-    # deployment, docs/PERF.md round-4 δ-grid section): on RAW weights
-    # the guided filter is REFUTED (worst-instruction gt-gap 10-78%
-    # across four concentrated checkpoints, vs 0.6-2.0% unguided), but a
-    # 600-step filter-aware sandwich finetune certifies it — worst
-    # gt-gap +0.88% over 3 seeds x 9 instructions, inside the 1% budget
-    # — so the operating point is RECIPE-CONDITIONAL. The HEADLINE value
-    # stays the exact path, whose parity (int8 alone, worst instruction
-    # 0.047%) is certified unconditionally, 20x inside the budget. The
-    # fast number rides in `fast_value` with an explicit machine-readable
-    # `parity` block so the one-line JSON can never be read as "north
-    # star met" without the condition.
+    # deployment, docs/PERF.md round-4 δ-grid sections): on RAW weights
+    # the guided filter is REFUTED (worst-instruction gt-gap 5.5-78%
+    # across the concentrated checkpoints, vs 0.6-2.0% unguided), but a
+    # 600-step filter-aware sandwich finetune certifies 2:0.35 on BOTH
+    # task semantics — worst gt-gap +0.33% over 3 seeds x 9 instructions
+    # (instruction-invariant) and +0.23% (instruction-dependent aimed,
+    # the reference's actual task) — so the operating point is
+    # RECIPE-CONDITIONAL. (The faster 2:0.25 spec is certified on the
+    # invariant task only, +0.88%, and REFUTED on aimed, +2.33%.) The
+    # HEADLINE value stays the exact path, whose parity (int8 alone,
+    # worst instruction 0.047%) is certified unconditionally, 20x inside
+    # the budget. The fast number rides in `fast_value` with an explicit
+    # machine-readable `parity` block so the one-line JSON can never be
+    # read as "north star met" without the condition.
     fast = 0.0
     if (not args.exact_only and not args.token_filter
             and args.backbone == "base" and args.size == 518 and best > 0):
@@ -184,7 +187,7 @@ def main():
                 # config fails, the fast point rides the fallback too
                 fast = max(fast, bench(b, args.size, *best_cfg,
                                        args.k_short, args.k_long,
-                                       token_filter="2:0.25",
+                                       token_filter="2:0.35",
                                        backbone=args.backbone,
                                        num_iterations=args.iters))
             except Exception as e:
@@ -206,15 +209,17 @@ def main():
             "fast_value": round(fast, 1),
             "fast_vs_baseline": round(fast / TARGET, 3),
             "fast_config": "eval_configs/full_cognitive_fast_tpu.yaml"
-                           " (token filter 2:0.25)",
+                           " (token filter 2:0.35)",
         })
         result["parity"]["fast"] = (
             "RECIPE-CONDITIONAL: certified in the concentrated-attention"
             " regime ONLY with filter-aware sandwich-finetuned weights"
             " (600 steps alternating filtered/exact): worst-instruction"
-            " gt-gap +0.88% over 3 seeds x 9 instructions, inside the 1%"
-            " budget. On raw weights the guided filter is REFUTED"
-            " (gt-gap 10-78%); docs/PERF.md round-4 sections")
+            " gt-gap +0.33% over 3 seeds x 9 instructions on the"
+            " instruction-invariant task and +0.23% on the aimed"
+            " (instruction-dependent) task, inside the 1% budget. On raw"
+            " weights the guided filter is REFUTED (gt-gap 5.5-78%);"
+            " docs/PERF.md round-4 sections")
     print(json.dumps(result))
 
 

@@ -77,17 +77,17 @@ def test_all_shipped_yamls_resolve():
 
 def test_fast_tpu_config_resolves_certified_point():
     """The framework-added fast config must resolve to the fast
-    operating point: 518 eval, 2 focal iterations, token filter 2:0.25
-    with the fused context token. (Round 4 made this spec's guided
-    parity RECIPE-CONDITIONAL — certified only with sandwich-finetuned
-    weights, refuted on raw weights; the yaml documents the condition —
+    operating point: 518 eval, 2 focal iterations, token filter 2:0.35
+    with the fused context token. (Round 4 certified this spec on both
+    task semantics RECIPE-CONDITIONALLY — sandwich-finetuned weights
+    only, refuted on raw weights; the yaml documents the condition —
     but the resolver contract is unchanged: these keys must keep
     resolving exactly.)"""
     raw = load("eval_configs/full_cognitive_fast_tpu.yaml")
     for lookup in ("reference", "nested"):
         a = resolve_model_config(raw, lookup=lookup)
         assert a.token_filter_layer == 2
-        assert a.token_filter_keep == 0.25
+        assert a.token_filter_keep == 0.35
         assert a.token_filter_fuse is True
         assert a.token_filter_active
         assert a.num_iterations == 2
