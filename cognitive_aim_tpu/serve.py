@@ -20,7 +20,7 @@ one-request rate.
 
 Run: python -m cognitive_aim_tpu.serve --config configs/experiment_B.yaml \
          [--checkpoint ckpt.pth] [--port 8321] [--policy int8]
-         [--token-filter 2:0.25] [--max-batch 16] [--max-delay-ms 5]
+         [--token-filter 2:0.35] [--max-batch 16] [--max-delay-ms 5]
 """
 
 from __future__ import annotations
