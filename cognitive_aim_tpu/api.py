@@ -16,6 +16,7 @@ Differences by design:
 from __future__ import annotations
 
 import json
+import os
 import threading
 from typing import Dict, List, Optional, Tuple
 
@@ -108,15 +109,47 @@ class CognitiveAimInference:
         random init if the file cannot be read (ref:demo.py:148-150)."""
         try:
             if path.endswith((".npz", ".npy")):
-                incoming = unflatten_npz(np.load(path))
+                z = np.load(path)
+                self._check_filter_stamp(npz_meta(z), path)
+                incoming = unflatten_npz(z)
             else:
                 sd = ct.load_torch_file(path)
+                # torch checkpoints carry no provenance stamp
+                self._check_filter_stamp({}, path)
                 incoming = self._convert_state_dict(sd)
             self.params, loaded, skipped = ct.filter_and_merge(self.params, incoming)
             print(f"Loaded checkpoint {path}: {loaded} tensors, {skipped} skipped")
         except Exception as e:  # ref keeps random weights on failure
             print(f"Error loading checkpoint: {e}")
             print("Continuing with randomly initialized weights...")
+
+    def _check_filter_stamp(self, meta: Dict[str, str], path: str):
+        """Recipe-condition enforcement (VERDICT r4 #8): the token-filter
+        fast configs are certified ONLY with weights trained/sandwiched
+        for the spec (docs/PERF.md round-4/5 certification). If this
+        engine runs a filter but the checkpoint carries no matching
+        `__meta__/train_filter` stamp (written by the trainer /
+        pretrain_procedural), warn loudly — or refuse when
+        CAIM_REQUIRE_FILTER_STAMP=1."""
+        from cognitive_aim_tpu.models.config import token_filter_spec
+
+        spec = token_filter_spec(self.arch)
+        if not spec:
+            return
+        stamp = meta.get("train_filter", "")
+        if stamp == spec:
+            return
+        detail = (f"stamped for '{stamp}'" if stamp
+                  else "carries no train-filter stamp")
+        msg = (f"token filter '{spec}' is active but checkpoint {path} "
+               f"{detail}. The filter's parity certification is "
+               f"recipe-conditional: on weights not trained for the spec "
+               f"the guided filter is REFUTED (worst-instruction gt-gap "
+               f"up to 78%, docs/PERF.md). Train/sandwich for the spec "
+               f"or drop token_filter_* from the config.")
+        if os.environ.get("CAIM_REQUIRE_FILTER_STAMP", "") == "1":
+            raise ValueError(msg)
+        print(f"WARNING: {msg}")
 
     def _convert_state_dict(self, sd) -> Dict:
         a = self.arch
@@ -503,11 +536,25 @@ def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
     return flat
 
 
+def npz_meta(npz) -> Dict[str, str]:
+    """Provenance stamp read-back: '__meta__/<k>' string entries written
+    next to the tensors (train_filter spec, adapter rank/targets). Empty
+    dict for unstamped (pre-round-5) checkpoints."""
+    meta = {}
+    for key in getattr(npz, "files", []):
+        if key.startswith("__meta__/"):
+            meta[key[len("__meta__/"):]] = str(npz[key])
+    return meta
+
+
 def unflatten_npz(npz) -> Dict:
     """Rebuild a nested dict-of-dicts (lists become int-keyed dicts, which
-    filter_and_merge matches by path)."""
+    filter_and_merge matches by path). '__meta__/*' provenance entries
+    (see npz_meta) are not parameters and are skipped."""
     tree: Dict = {}
     for key in npz.files:
+        if key.startswith("__meta__/"):
+            continue
         parts = key.split("/")
         node = tree
         for p in parts[:-1]:

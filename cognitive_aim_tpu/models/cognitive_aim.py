@@ -81,8 +81,20 @@ class CognitiveAimModel:
         self.attn_impl = attn_impl
         self.vit_cfg = vit_cfg or dinov2.config_for(
             arch.backbone_size, use_lora=arch.use_lora, lora_rank=arch.lora_rank,
+            lora_alpha=arch.lora_alpha, lora_targets=tuple(arch.lora_targets),
             gelu_approx=policy.fast_gelu,
         )
+        if vit_cfg is not None and arch.use_lora and not vit_cfg.use_lora:
+            # an explicit vit_cfg (tiny/layer-override paths) must still
+            # honor the arch's adapter settings — otherwise use_lora=True
+            # silently trains nothing (the adapter tensors never enter the
+            # traced forward)
+            import dataclasses as _dc
+
+            self.vit_cfg = _dc.replace(
+                vit_cfg, use_lora=True, lora_rank=arch.lora_rank,
+                lora_alpha=arch.lora_alpha,
+                lora_targets=tuple(arch.lora_targets))
         # stream/curiosity widths follow the backbone hidden size (the
         # reference hardcodes 768 even for 'large', where its curiosity call
         # then always fails on shape mismatch and silently degrades —

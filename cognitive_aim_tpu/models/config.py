@@ -38,6 +38,11 @@ class ModelArchConfig:
     freeze_backbone: bool = True
     use_lora: bool = False
     lora_rank: int = 16
+    lora_alpha: int = 16
+    # adapter targets in the backbone blocks. ("attn_out",) = the
+    # reference's LoRALayer shape; the adapter-gated filter sandwich uses
+    # ("qkv", "attn_out", "fc1", "fc2") — see nn/dinov2.py.
+    lora_targets: tuple = ("attn_out",)
     use_ambient: bool = True
     use_focal: bool = True
     use_iterative: bool = True
@@ -204,6 +209,37 @@ def parse_token_filter(spec: str) -> dict:
     return out
 
 
+def token_filter_spec(arch) -> str:
+    """Inverse of parse_token_filter for the fields it sets: canonical
+    'L:K[,L2:K2][@opts]' string of an arch's token-filter config, '' when
+    no filter is active. Used for checkpoint provenance stamps (the fast
+    configs are certified RECIPE-CONDITIONALLY — only with weights
+    trained/sandwiched for the spec — so loaders compare this string
+    against the stamp the trainer wrote; docs/PERF.md round-4/5)."""
+    stages = tuple(arch.token_filter_schedule or ())
+    if not stages and 0 < arch.token_filter_layer \
+            and 0.0 < arch.token_filter_keep < 1.0:
+        stages = ((arch.token_filter_layer, arch.token_filter_keep),)
+    if not stages:
+        return ""
+    s = ",".join(f"{int(l)}:{float(k):g}" for l, k in stages)
+    if getattr(arch, "token_filter_merge", False):
+        s += "@m"
+    if getattr(arch, "token_filter_delta_correct", False):
+        s += "@d"
+    if getattr(arch, "token_filter_strat_stride", 0):
+        s += f"@s{arch.token_filter_strat_stride}"
+    if getattr(arch, "token_filter_prop_attn", False):
+        s += "@p"
+    if getattr(arch, "token_filter_ctx_frac", 0.0):
+        s += f"@c{arch.token_filter_ctx_frac:g}"
+    if getattr(arch, "token_filter_fuse_k", 1) > 1:
+        s += f"@f{arch.token_filter_fuse_k}"
+    if getattr(arch, "token_filter_rollout", 0.0):
+        s += f"@r{arch.token_filter_rollout:g}"
+    return s
+
+
 DEFAULT_COGNITIVE_MODULES = (
     # demo.py's injected default (ref:demo.py:48-52)
     "ambient_stream",
@@ -273,6 +309,9 @@ def resolve_model_config(
         freeze_backbone=freeze,
         use_lora=use_lora,
         lora_rank=int(_get(raw, "lora_rank", 16, lookup)),
+        lora_alpha=int(_get(raw, "lora_alpha", 16, lookup)),
+        lora_targets=tuple(
+            _get(raw, "lora_targets", ("attn_out",), lookup) or ("attn_out",)),
         use_ambient=use_ambient,
         use_focal=use_focal,
         use_iterative=use_iterative,

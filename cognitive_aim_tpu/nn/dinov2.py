@@ -53,6 +53,13 @@ class DinoV2Config:
     use_lora: bool = False
     lora_rank: int = 16
     lora_alpha: int = 16
+    # which projections carry adapters. The reference shape ("attn_out"
+    # only, rank 16) is the default; the adapter-gated token-filter
+    # sandwich (docs/PERF.md round-5) extends to ("qkv", "attn_out",
+    # "fc1", "fc2") so a FROZEN base + trained adapters can absorb the
+    # filter's distribution shift while the adapter-off exact path stays
+    # bit-identical to the original weights.
+    lora_targets: tuple = ("attn_out",)
     # tanh-approx GELU: ~6x faster on the VPU than HF's exact erf GELU
     # (measured 450 vs 71 Gelem/s on v5e); max deviation ~3e-4 per
     # activation. Parity policies keep exact erf.
@@ -108,10 +115,22 @@ def init(key, cfg: DinoV2Config, dtype=jnp.float32):
             "ls2": jnp.full((D,), cfg.layerscale_value, dtype),
         }
         if cfg.use_lora:
-            # reference shapes: lora_A [rank, in] * 0.01 randn, lora_B zeros
-            # (ref:src/model.py:23-24)
-            p["lora_A"] = 0.01 * jax.random.normal(kk[6], (cfg.lora_rank, D), dtype)
-            p["lora_B"] = jnp.zeros((D, cfg.lora_rank), dtype)
+            r = cfg.lora_rank
+            if "attn_out" in cfg.lora_targets:
+                # reference shapes: lora_A [rank, in] * 0.01 randn, lora_B
+                # zeros (ref:src/model.py:23-24)
+                p["lora_A"] = 0.01 * jax.random.normal(kk[6], (r, D), dtype)
+                p["lora_B"] = jnp.zeros((D, r), dtype)
+            # extended targets (same A-randn/B-zeros scheme): adapter-gated
+            # sandwich capacity beyond the reference's attn_out-only shape
+            ext = {"qkv": (D, 3 * D), "fc1": (D, cfg.mlp_dim),
+                   "fc2": (cfg.mlp_dim, D)}
+            kext = jax.random.split(kk[7], len(ext))
+            for ke, (name, (din, dout)) in zip(kext, sorted(ext.items())):
+                if name in cfg.lora_targets:
+                    p[f"lora_{name}_A"] = 0.01 * jax.random.normal(
+                        ke, (r, din), dtype)
+                    p[f"lora_{name}_B"] = jnp.zeros((dout, r), dtype)
         return p
 
     params = {
@@ -179,6 +198,23 @@ def _lin(p, x):
     return L.linear_apply(p, x)
 
 
+def _lora_delta(p, name, x, cfg: DinoV2Config):
+    """scaling * (x @ A.T) @ B.T for extended-target adapters, or None.
+
+    Low-rank additive path on the qkv / fc1 / fc2 projections (the
+    attn_out adapter keeps the reference's bare lora_A/lora_B names and
+    is applied inline in _mhsa). Gated by cfg.use_lora: an exact-path
+    model built with use_lora=False IGNORES adapter tensors present in
+    the param tree, which is what makes the adapter-gated filter
+    sandwich's exact path bit-identical to the original weights."""
+    a = p.get(f"lora_{name}_A")
+    if not cfg.use_lora or a is None:
+        return None
+    b = p[f"lora_{name}_B"]
+    scaling = cfg.lora_alpha / cfg.lora_rank
+    return scaling * ((x @ a.T.astype(x.dtype)) @ b.T.astype(x.dtype))
+
+
 def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str, k_bias=None):
     """k_bias: optional [B, N] f32 additive key-side logit bias —
     proportional attention for the token filter's fused/merged tokens
@@ -187,6 +223,7 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str, k_bias=None):
     docs/PERF.md round-4 CLS-drift mechanism)."""
     B, N, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
+    dqkv = _lora_delta(p, "qkv", x, cfg)  # [B, N, 3D] or None
     if attn_impl in ("pallas_packed", "pallas_packed_i8qk"):
         # packed kernel consumes [B, N, H*D] directly — no head transpose
         from cognitive_aim_tpu.kernels.flash_attention import (
@@ -201,6 +238,8 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str, k_bias=None):
             from cognitive_aim_tpu.kernels.int8_gemm import int8_linear_fused
 
             qkv = int8_linear_fused(x, p["qkv_i8"]["wq"], p["qkv_i8"]["b"])
+            if dqkv is not None:
+                qkv = qkv + dqkv
             qp, kp, vp = jnp.split(qkv, 3, axis=-1)
         elif "wq" in p.get("q", {}):
             from cognitive_aim_tpu.kernels import int8_ops as I8
@@ -209,13 +248,21 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str, k_bias=None):
             qp = I8.int8_matmul_prequant(xq, sx, p["q"]["wq"], p["q"].get("b"), x.dtype)
             kp = I8.int8_matmul_prequant(xq, sx, p["k"]["wq"], p["k"].get("b"), x.dtype)
             vp = I8.int8_matmul_prequant(xq, sx, p["v"]["wq"], p["v"].get("b"), x.dtype)
+            if dqkv is not None:
+                dq, dk, dv = jnp.split(dqkv, 3, axis=-1)
+                qp, kp, vp = qp + dq, kp + dk, vp + dv
         elif "qkv_w" in p:
             qkv = x @ p["qkv_w"] + p["qkv_b"]
+            if dqkv is not None:
+                qkv = qkv + dqkv
             qp, kp, vp = jnp.split(qkv, 3, axis=-1)
         else:
             qp = L.linear_apply(p["q"], x)
             kp = L.linear_apply(p["k"], x)
             vp = L.linear_apply(p["v"], x)
+            if dqkv is not None:
+                dq, dk, dv = jnp.split(dqkv, 3, axis=-1)
+                qp, kp, vp = qp + dq, kp + dk, vp + dv
         if attn_impl == "pallas_packed_i8qk":
             # int8 QK^T with quantization hoisted OUT of the kernel (fuses
             # into the projection epilogue); round 1's in-kernel quantization
@@ -238,6 +285,8 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str, k_bias=None):
         return out
     if "qkv_w" in p:  # fused projection: one [D, 3D] MXU matmul
         qkv = x @ p["qkv_w"] + p["qkv_b"]
+        if dqkv is not None:
+            qkv = qkv + dqkv
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, N, H, hd)
         k = k.reshape(B, N, H, hd)
@@ -250,6 +299,9 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str, k_bias=None):
         q = I8.int8_matmul_prequant(xq, sx, p["q"]["wq"], p["q"].get("b"), x.dtype)
         k = I8.int8_matmul_prequant(xq, sx, p["k"]["wq"], p["k"].get("b"), x.dtype)
         v = I8.int8_matmul_prequant(xq, sx, p["v"]["wq"], p["v"].get("b"), x.dtype)
+        if dqkv is not None:
+            dq, dk, dv = jnp.split(dqkv, 3, axis=-1)
+            q, k, v = q + dq, k + dk, v + dv
         q = q.reshape(B, N, H, hd)
         k = k.reshape(B, N, H, hd)
         v = v.reshape(B, N, H, hd)
@@ -257,6 +309,10 @@ def _mhsa(p, x, cfg: DinoV2Config, attn_impl: str, k_bias=None):
         q = _lin(p["q"], x).reshape(B, N, H, hd)
         k = _lin(p["k"], x).reshape(B, N, H, hd)
         v = _lin(p["v"], x).reshape(B, N, H, hd)
+        if dqkv is not None:
+            dq, dk, dv = (d.reshape(B, N, H, hd)
+                          for d in jnp.split(dqkv, 3, axis=-1))
+            q, k, v = q + dq, k + dk, v + dv
     if attn_impl == "pallas" and k_bias is None:
         from cognitive_aim_tpu.kernels.flash_attention import flash_attention
 
@@ -284,10 +340,16 @@ def _block(p, x, cfg: DinoV2Config, attn_impl: str, k_bias=None):
     h = L.layernorm_apply(p["norm1"], x, cfg.layer_norm_eps)
     x = x + p["ls1"] * _mhsa(p, h, cfg, attn_impl, k_bias)
     h = L.layernorm_apply(p["norm2"], x, cfg.layer_norm_eps)
-    h = _lin(p["fc1"], h)
-    h = jax.nn.gelu(h, approximate=cfg.gelu_approx)
-    h = _lin(p["fc2"], h)
-    x = x + p["ls2"] * h
+    h1 = _lin(p["fc1"], h)
+    d1 = _lora_delta(p, "fc1", h, cfg)
+    if d1 is not None:
+        h1 = h1 + d1
+    g = jax.nn.gelu(h1, approximate=cfg.gelu_approx)
+    h2 = _lin(p["fc2"], g)
+    d2 = _lora_delta(p, "fc2", g, cfg)
+    if d2 is not None:
+        h2 = h2 + d2
+    x = x + p["ls2"] * h2
     return x
 
 
@@ -912,7 +974,8 @@ def apply(
         and attn_impl.startswith("pallas_packed")
         and "qkv_i8" in layers
         and cfg.gelu_approx  # exact erf GELU can't lower in Pallas TPU
-        and not (cfg.use_lora and "lora_A" in layers)
+        and not (cfg.use_lora
+                 and any(k.startswith("lora") for k in layers))
     ):
         block = _block_int8_chained
     if remat:

@@ -86,6 +86,13 @@ class TrainConfig:
     # 0.95%->3.39% under unguided filter-aware finetuning). Randomizing the
     # instruction matches the train-time kept-set distribution to eval.
     guided_training: bool = False
+    # Adapter-only training: freeze EVERY parameter except the backbone
+    # LoRA tensors (lora_A/lora_B and the extended lora_<target>_A/_B).
+    # The adapter-gated token-filter sandwich rides on this: the filtered
+    # path trains its adapters while the base weights — hence the
+    # adapter-off exact path — stay bit-identical to the originals
+    # (docs/PERF.md round-5 certification).
+    train_only_lora: bool = False
     # Pipeline-parallel training (GPipe): >1 shards the backbone layer
     # stack over a `pipe` mesh axis and differentiates straight through
     # the schedule (parallel/pipeline.py pipelined_scan — ppermute's
@@ -199,7 +206,26 @@ class Trainer:
             optax.adamw(schedule, weight_decay=cfg.weight_decay,
                         b1=0.9, b2=0.999, eps=1e-8),
         )
-        if cfg.freeze_backbone:
+        if cfg.train_only_lora:
+            # adapters only: everything that is not a lora_* tensor gets a
+            # zero update, INCLUDING heads/streams/curiosity (they are
+            # shared with the adapter-off exact path, so touching them
+            # would break the bit-identity of the original weights)
+            def _labels_lora(p):
+                def label(path, _):
+                    names = [str(getattr(k, "key", getattr(k, "idx", k)))
+                             for k in path]
+                    if any(n.startswith("lora") for n in names):
+                        return "train"
+                    return "freeze"
+
+                return jax.tree_util.tree_map_with_path(label, p)
+
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()},
+                param_labels=_labels_lora,
+            )
+        elif cfg.freeze_backbone:
             # freeze the backbone except LoRA adapters (ref:src/model.py:817-819
             # freezes all backbone params; LoRA params are the trainable
             # adaptation, ref:821-831)
@@ -520,6 +546,17 @@ class Trainer:
             "meta/epoch": np.asarray(self.epoch),
             "meta/best_val_loss": np.asarray(self.best_val_loss),
         }
+        # provenance stamp: weights trained WITH an active token filter are
+        # the only ones the filter's parity certification covers
+        # (recipe-conditional, docs/PERF.md); api.py warns when a filter
+        # config loads weights without a matching stamp (VERDICT r4 #8)
+        from cognitive_aim_tpu.models.config import token_filter_spec
+
+        arch = getattr(self.model, "arch", None)
+        if arch is not None and getattr(arch, "token_filter_train", False):
+            spec = token_filter_spec(arch)
+            if spec:
+                state["__meta__/train_filter"] = np.asarray(spec)
         np.savez(path, **state)
         if is_best:
             shutil.copyfile(path, os.path.join(self.output_dir, "model_best.npz"))

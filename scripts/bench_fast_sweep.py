@@ -43,10 +43,17 @@ RATE = re.compile(r"([\d.]+) img/s")
 
 def run_point(label, env_over, batch, spec):
     env = dict(os.environ, **env_over)
+    # --no-fallback: a candidate whose env knobs crash the primary config
+    # must record FAILED, not the fallback path's rate under the
+    # candidate's label (that skewed A/B ranking — ADVICE r4)
     cmd = [sys.executable, os.path.join(ROOT, "bench.py"),
-           "--batch", str(batch), "--token-filter", spec]
-    p = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                       timeout=1200, cwd=ROOT)
+           "--batch", str(batch), "--token-filter", spec, "--no-fallback"]
+    try:
+        p = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                           timeout=1200, cwd=ROOT)
+    except subprocess.TimeoutExpired:
+        print(f"  {label}: TIMEOUT (1200s) — skipping point", flush=True)
+        return None
     text = p.stdout + p.stderr
     m = RATE.findall(text)
     rate = float(m[-1]) if m else None
@@ -74,7 +81,7 @@ def main():
         sel = set(args.points.split(","))
         points = [p for p in points if p[0] in sel]
     if args.env:
-        over = dict(kv.split("=") for kv in args.env.split(";"))
+        over = dict(kv.split("=", 1) for kv in args.env.split(";"))
         points.append(("custom:" + args.env, over, 0))
 
     results = {}

@@ -79,7 +79,7 @@ def main():
         sel = set(args.points.split(","))
         points = [p for p in points if p[0] in sel]
     if args.env:
-        over = dict(kv.split("=") for kv in args.env.split(";"))
+        over = dict(kv.split("=", 1) for kv in args.env.split(";"))
         points.append(("custom:" + args.env, over))
     extra = []
     if args.token_filter:

@@ -134,6 +134,20 @@ def main():
                          "guidance-conditioned eval-time one — the round-3 "
                          "unguided filter-aware grid regressed ring cells "
                          "because it trained on a single unguided kept set)")
+    ap.add_argument("--adapter-rank", type=int, default=0,
+                    help="measure the adapter-gated sandwich: checkpoints "
+                         "carry an _ad<rank> suffix (produced by "
+                         "pretrain_procedural.py --adapter-rank) and every "
+                         "FILTERED variant runs with use_lora adapters "
+                         "active while the f32 exact reference keeps "
+                         "use_lora=False — i.e. the exact path IS the "
+                         "original frozen base weights, so the reported "
+                         "gt-gap is the full deployment delta vs the "
+                         "original checkpoint (VERDICT r4 item 1)")
+    ap.add_argument("--adapter-targets", type=str,
+                    default="qkv,attn_out,fc1,fc2")
+    ap.add_argument("--adapter-alpha", type=int, default=0,
+                    help="0 = rank (scaling 1), matching the trainer")
     ap.add_argument("--out", type=str, default="/tmp/delta_sweep.json")
     ap.add_argument("--layers", type=int, default=0,
                     help="override backbone depth (0 = full ViT-B); with "
@@ -224,11 +238,17 @@ def main():
         ModelArchConfig(num_iterations=6, image_size=eval_size,
                         freeze_backbone=False, use_lora=False),
         policy=policy_from_name("f32"), attn_impl="xla", vit_cfg=vit)
+    lora_kw = {}
+    if args.adapter_rank:
+        lora_kw = dict(
+            use_lora=True, lora_rank=args.adapter_rank,
+            lora_alpha=args.adapter_alpha or args.adapter_rank,
+            lora_targets=tuple(args.adapter_targets.split(",")))
     variants = {}
     for spec in filter_specs:
         va = ModelArchConfig(num_iterations=6, image_size=eval_size,
                              freeze_backbone=False, use_lora=False,
-                             **parse_token_filter(spec))
+                             **{**parse_token_filter(spec), **lora_kw})
         variants[spec] = CognitiveAimModel(
             va, policy=policy_from_name("int8"), attn_impl="pallas_packed",
             vit_cfg=vit)
@@ -368,7 +388,9 @@ def main():
         if args.train_filter:
             tf_tag = "_tf" + args.train_filter.replace(":", "-") \
                 .replace(",", "_").replace("@", "r")
-        if args.train_filter_mode == "alternate" and args.train_filter:
+        if args.adapter_rank and args.train_filter:
+            tf_tag += f"_ad{args.adapter_rank}"
+        elif args.train_filter_mode == "alternate" and args.train_filter:
             tf_tag += "_alt"
         if args.train_guided:
             tf_tag += "_g"

@@ -103,6 +103,23 @@ def main():
     ap.add_argument("--init-from", type=str, default="",
                     help="warm-start params from this .npz checkpoint "
                          "instead of random init (fresh optimizer state)")
+    ap.add_argument("--adapter-rank", type=int, default=0,
+                    help="adapter-gated sandwich: with --train-filter and "
+                         "--init-from, freeze the WHOLE base model and "
+                         "train only backbone LoRA adapters of this rank, "
+                         "with the filter active on EVERY step. The "
+                         "adapters live only on the filtered path "
+                         "(use_lora gates them), so the adapter-off exact "
+                         "path stays bit-identical to the --init-from "
+                         "weights — the recipe cost of the full-weight "
+                         "sandwich (docs/PERF.md round-4, ~1pp on the "
+                         "exact path) is zero BY CONSTRUCTION. 0 = off.")
+    ap.add_argument("--adapter-targets", type=str,
+                    default="qkv,attn_out,fc1,fc2",
+                    help="comma list of backbone projections that carry "
+                         "adapters (subset of qkv,attn_out,fc1,fc2)")
+    ap.add_argument("--adapter-alpha", type=int, default=0,
+                    help="LoRA alpha (0 = rank, i.e. scaling 1)")
     args = ap.parse_args()
     if args.filter_every < 2:
         ap.error("--filter-every must be >= 2 (1 would never run the "
@@ -111,6 +128,9 @@ def main():
     if args.aimed and args.guided:
         ap.error("--aimed and --guided are mutually exclusive "
                  "(aimed is guided-native by construction)")
+    if args.adapter_rank and not (args.train_filter and args.init_from):
+        ap.error("--adapter-rank needs --train-filter (the path the "
+                 "adapters are gated to) and --init-from (the frozen base)")
 
     import jax
     import jax.numpy as jnp
@@ -137,6 +157,10 @@ def main():
                                           .replace("@", "r") + "_alt"
         if args.filter_every != 2:
             tf_tag += f"_e{args.filter_every}"
+        if args.adapter_rank:
+            # adapter mode replaces the alternation (the exact path is
+            # frozen, so only filtered steps carry gradient signal)
+            tf_tag = tf_tag.replace("_alt", f"_ad{args.adapter_rank}")
     out = os.path.join(args.ckpt_dir,
                        f"s{args.seed}_{law}_{args.steps}_i{S}{tf_tag}.npz")
 
@@ -185,25 +209,51 @@ def main():
     tf_kw = parse_token_filter(args.train_filter)
     if tf_kw:
         tf_kw["token_filter_train"] = True
+    lora_kw = {}
+    if args.adapter_rank:
+        lora_kw = dict(
+            use_lora=True, lora_rank=args.adapter_rank,
+            lora_alpha=args.adapter_alpha or args.adapter_rank,
+            lora_targets=tuple(args.adapter_targets.split(",")))
     arch = ModelArchConfig(num_iterations=6, image_size=S,
-                           freeze_backbone=False, use_lora=False, **tf_kw)
+                           freeze_backbone=False, use_lora=False,
+                           **{**tf_kw, **lora_kw})
     model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
     alt_model = None
-    if tf_kw:
+    if tf_kw and not args.adapter_rank:
         alt_model = CognitiveAimModel(
             ModelArchConfig(num_iterations=6, image_size=S,
                             freeze_backbone=False, use_lora=False),
             attn_impl="pallas_packed", vit_cfg=vit)
+    base_flat = None
     if args.init_from:
         from cognitive_aim_tpu.api import unflatten_npz
 
-        params = unflatten_npz(np.load(args.init_from))
+        base_flat = dict(np.load(args.init_from))
+        params = unflatten_npz(base_flat)
         print(f"warm-start from {args.init_from}", flush=True)
+        if args.adapter_rank:
+            # graft freshly-initialized adapter tensors into the loaded
+            # base tree (the base checkpoint predates the adapters)
+            fresh = model.init(jax.random.PRNGKey(args.seed + 5000))
+            lay = dict(params["backbone"]["layers"])
+            n_new = 0
+            for k2, v in fresh["backbone"]["layers"].items():
+                if k2.startswith("lora") and k2 not in lay:
+                    lay[k2] = v
+                    n_new += 1
+            params = dict(params)
+            params["backbone"] = dict(params["backbone"])
+            params["backbone"]["layers"] = lay
+            print(f"grafted {n_new} adapter tensors "
+                  f"(rank {args.adapter_rank}, "
+                  f"targets {args.adapter_targets})", flush=True)
     else:
         params = model.init(jax.random.PRNGKey(args.seed))
     cfg = TrainConfig(epochs=1, batch_size=B, steps_per_epoch=args.steps,
                       learning_rate=args.lr, freeze_backbone=False,
-                      guided_training=args.guided)
+                      guided_training=args.guided,
+                      train_only_lora=bool(args.adapter_rank))
     tr = Trainer(model, params, cfg, output_dir="/tmp/pretrain_proc_out",
                  alt_model=alt_model)
 
@@ -309,6 +359,37 @@ def main():
                 np.abs(pred - gt) / np.maximum(gt, 1e-6))))
         return worst
 
+    def ckpt_flat(p):
+        """Flattened host copy; in adapter mode, verify the frozen base
+        never moved and then write the ORIGINAL base tensors verbatim, so
+        the saved checkpoint's adapter-off exact path is bit-identical to
+        --init-from by construction (not merely up to float addition
+        identities like -0.0 + 0.0)."""
+        flat = flatten_tree(jax.device_get(p))
+        if args.adapter_rank and base_flat is not None:
+            drift = 0.0
+            for k2, v in base_flat.items():
+                drift = max(drift, float(np.max(np.abs(
+                    np.asarray(flat[k2], np.float64)
+                    - np.asarray(v, np.float64)))))
+            if drift != 0.0:
+                print(f"  WARNING: frozen base drifted by {drift:.3e} "
+                      f"during adapter training — restoring originals",
+                      flush=True)
+            for k2, v in base_flat.items():
+                flat[k2] = v
+        if args.train_filter:
+            # provenance stamp (api.py _check_filter_stamp): these weights
+            # are trained/sandwiched for this spec, the recipe condition
+            # of the filter's parity certification
+            flat["__meta__/train_filter"] = np.asarray(args.train_filter)
+            if args.adapter_rank:
+                flat["__meta__/adapter_rank"] = np.asarray(
+                    str(args.adapter_rank))
+                flat["__meta__/adapter_targets"] = np.asarray(
+                    args.adapter_targets)
+        return flat
+
     # ------------------------------------------------------------ train ----
     p, o = tr.params, tr.opt_state
     cur_on = jnp.asarray(True)
@@ -336,11 +417,11 @@ def main():
             print(msg, flush=True)
             # periodic save (atomic rename): a multi-hour run survives a
             # host restart with at most eval_every steps lost
-            flat = flatten_tree(jax.device_get(p))
+            flat = ckpt_flat(p)
             np.savez(out + ".tmp.npz", **flat)
             os.replace(out + ".tmp.npz", out)
 
-    flat = flatten_tree(jax.device_get(p))
+    flat = ckpt_flat(p)
     np.savez(out, **flat)
     print(f"wrote {out} ({len(flat)} tensors, "
           f"{time.perf_counter() - t0:.0f}s total)")
