@@ -110,8 +110,10 @@ class CognitiveAimInference:
         try:
             if path.endswith((".npz", ".npy")):
                 z = np.load(path)
-                self._check_filter_stamp(npz_meta(z), path)
+                meta = npz_meta(z)
+                self._check_filter_stamp(meta, path)
                 incoming = unflatten_npz(z)
+                incoming = self._maybe_merge_adapters(incoming, meta)
             else:
                 sd = ct.load_torch_file(path)
                 # torch checkpoints carry no provenance stamp
@@ -150,6 +152,32 @@ class CognitiveAimInference:
         if os.environ.get("CAIM_REQUIRE_FILTER_STAMP", "") == "1":
             raise ValueError(msg)
         print(f"WARNING: {msg}")
+
+    def _maybe_merge_adapters(self, incoming: Dict, meta: Dict[str, str]):
+        """Deployment fold of adapter-gated sandwich checkpoints: when
+        THIS engine runs a token filter and the checkpoint carries
+        trained backbone LoRA adapters (stamped by pretrain_procedural
+        --adapter-rank), fold them into the dense weights (zero runtime
+        overhead; docs/PERF.md round-5). An exact-path engine skips the
+        fold — its filter_and_merge drops the adapter tensors and serves
+        the original weights bit-identically."""
+        from cognitive_aim_tpu.models.config import token_filter_spec
+        from cognitive_aim_tpu.nn import dinov2 as _dv
+
+        bb = incoming.get("backbone", {})
+        has_lora = any(str(k).startswith("lora")
+                       for k in bb.get("layers", {}))
+        if not has_lora or not token_filter_spec(self.arch):
+            return incoming
+        rank = int(meta.get("adapter_rank", "0") or 0)
+        alpha = int(meta.get("adapter_alpha", str(rank)) or rank)
+        if rank <= 0:
+            return incoming
+        out = dict(incoming)
+        out["backbone"] = _dv.merge_lora(bb, alpha / rank)
+        print(f"Folded rank-{rank} filter adapters into backbone weights "
+              f"(targets {meta.get('adapter_targets', '?')})")
+        return out
 
     def _convert_state_dict(self, sd) -> Dict:
         a = self.arch

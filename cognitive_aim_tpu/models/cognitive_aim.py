@@ -155,6 +155,24 @@ class CognitiveAimModel:
         params["confidence_head"] = conf
         return params
 
+    def merge_lora_params(self, params: Dict, rank: int = 0,
+                          alpha: int = 0) -> Dict:
+        """Deployment fold of adapter-gated sandwich weights: backbone
+        LoRA tensors are merged into the dense weights (zero runtime
+        overhead on the filtered fast path) and dropped from the tree.
+        rank/alpha default to the arch's settings; pass explicitly when
+        this model was built without use_lora (the merged-deployment
+        engines are). No-op when the tree has no adapter tensors."""
+        bb = params.get("backbone", {})
+        if not any(k.startswith("lora")
+                   for k in bb.get("layers", {})):
+            return params
+        r = rank or self.arch.lora_rank
+        a = alpha or self.arch.lora_alpha
+        out = dict(params)
+        out["backbone"] = dinov2.merge_lora(bb, a / r)
+        return out
+
     def prepare_params(self, params: Dict) -> Dict:
         """Post-load parameter transform for the active policy: quantizes the
         backbone dense projections to int8 when policy.quantize_backbone,

@@ -198,6 +198,58 @@ def _lin(p, x):
     return L.linear_apply(p, x)
 
 
+def merge_lora(params, scaling: float):
+    """Fold trained adapters into the dense weights: W' = W + scaling
+    * A^T B^T per target (scaling = lora_alpha / lora_rank), dropping the
+    lora tensors.
+
+    The deployment transform of the adapter-gated filter sandwich
+    (docs/PERF.md round-5): training keeps the adapters runtime-gated
+    (so the frozen base stays bit-identical for the exact path), but the
+    FILTERED serving engine folds them in once at load time — zero
+    runtime overhead (rank-64 adapters on all four targets would
+    otherwise add ~11% dense FLOPs to the fast path) and the folded
+    weights then ride the ordinary int8 quantization. Mathematically
+    identical to the runtime adapter (x@(W+dW) = x@W + x@dW) up to float
+    rounding; δ grids measure the folded graph, i.e. what deploys.
+
+    Returns a new params tree; input is not mutated. No-op (same tree)
+    when no adapter tensors are present."""
+    layers = params.get("layers", {})
+    if not any(k.startswith("lora") for k in layers):
+        return params
+
+    def fold(wa, a, b):
+        # a [L, r, din], b [L, dout, r] -> dW [L, din, dout]
+        dw = jnp.einsum("lrd,lor->ldo", a, b)
+        return wa + scaling * dw.astype(wa.dtype)
+
+    lay = dict(layers)
+    if "lora_A" in lay:  # reference-named attn_out adapter
+        ao = dict(lay["attn_out"])
+        ao["w"] = fold(ao["w"], lay.pop("lora_A"), lay.pop("lora_B"))
+        lay["attn_out"] = ao
+    for name in ("fc1", "fc2"):
+        if f"lora_{name}_A" in lay:
+            lin = dict(lay[name])
+            lin["w"] = fold(lin["w"], lay.pop(f"lora_{name}_A"),
+                            lay.pop(f"lora_{name}_B"))
+            lay[name] = lin
+    if "lora_qkv_A" in lay:
+        a = lay.pop("lora_qkv_A")
+        b = lay.pop("lora_qkv_B")  # [L, 3D, r] over concatenated q,k,v
+        D = a.shape[-1]
+        dqkv = scaling * jnp.einsum("lrd,lor->ldo", a, b)  # [L, D, 3D]
+        for i, name in enumerate(("q", "k", "v")):
+            lin = dict(lay[name])
+            lin["w"] = lin["w"] + dqkv[..., i * D:(i + 1) * D].astype(
+                lin["w"].dtype)
+            lay[name] = lin
+    out = dict(params)
+    out["layers"] = lay
+    return out
+
+
 def _lora_delta(p, name, x, cfg: DinoV2Config):
     """scaling * (x @ A.T) @ B.T for extended-target adapters, or None.
 

@@ -238,17 +238,18 @@ def main():
         ModelArchConfig(num_iterations=6, image_size=eval_size,
                         freeze_backbone=False, use_lora=False),
         policy=policy_from_name("f32"), attn_impl="xla", vit_cfg=vit)
-    lora_kw = {}
-    if args.adapter_rank:
-        lora_kw = dict(
-            use_lora=True, lora_rank=args.adapter_rank,
-            lora_alpha=args.adapter_alpha or args.adapter_rank,
-            lora_targets=tuple(args.adapter_targets.split(",")))
+    # Adapter mode measures the DEPLOYMENT graph: the trained adapters are
+    # folded into the dense weights (merge_lora_params — zero runtime
+    # overhead on the filtered path) and the variants run the ordinary
+    # filter models on the folded tree, while the f32 exact reference runs
+    # the ORIGINAL tensors (the frozen base is bit-identical to the
+    # --init-from checkpoint), so the reported gt-gap IS the full
+    # deployment delta vs the original weights.
     variants = {}
     for spec in filter_specs:
         va = ModelArchConfig(num_iterations=6, image_size=eval_size,
                              freeze_backbone=False, use_lora=False,
-                             **{**parse_token_filter(spec), **lora_kw})
+                             **parse_token_filter(spec))
         variants[spec] = CognitiveAimModel(
             va, policy=policy_from_name("int8"), attn_impl="pallas_packed",
             vit_cfg=vit)
@@ -438,7 +439,12 @@ def main():
             trained = jax.device_get(trained)
             np.savez(ckpt, **flatten_tree(trained))
         p_f32 = jax.device_put(trained)
-        p_int8 = model.prepare_params(trained)
+        fast_tree = trained
+        if args.adapter_rank:
+            fast_tree = next(iter(variants.values())).merge_lora_params(
+                trained, rank=args.adapter_rank,
+                alpha=args.adapter_alpha or args.adapter_rank)
+        p_int8 = model.prepare_params(fast_tree)
         if law in ("proc", "procg", "proca"):
             if proc_eval is None or proc_eval[0] != law:
                 proc_eval = (law, build_eval_proc(law))
@@ -450,7 +456,7 @@ def main():
             # ground truth at the EVAL resolution: same law on eval images
             gt, ev_local = LAWS[law](eval01), None
         table, gt_table = measure(p_f32, p_int8, gt, ev=ev_local)
-        del p_f32, p_int8, trained
+        del p_f32, p_int8, trained, fast_tree
         gc.collect()
         rss_gb = 0.0
         with open("/proc/self/status") as f:

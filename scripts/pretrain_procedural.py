@@ -386,6 +386,8 @@ def main():
             if args.adapter_rank:
                 flat["__meta__/adapter_rank"] = np.asarray(
                     str(args.adapter_rank))
+                flat["__meta__/adapter_alpha"] = np.asarray(
+                    str(args.adapter_alpha or args.adapter_rank))
                 flat["__meta__/adapter_targets"] = np.asarray(
                     args.adapter_targets)
         return flat

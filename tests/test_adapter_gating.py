@@ -241,6 +241,41 @@ def test_adapter_sandwich_rescue_and_frozen_base(sandwich_cell):
         f"(raw {absrel_raw * 100:.2f}% -> adapted {absrel_ad * 100:.2f}%)")
 
 
+def test_merge_lora_matches_runtime_adapter():
+    """The deployment fold (merge_lora: W' = W + scaling * A^T B^T) is
+    mathematically the runtime-gated adapter — outputs match to float
+    rounding — and the folded tree carries no lora tensors (so the
+    filtered serving path pays ZERO adapter overhead)."""
+    cfgL = dataclasses.replace(
+        VIT, use_lora=True, lora_rank=4, lora_alpha=8,
+        lora_targets=ALL_TARGETS)
+    p = dinov2.init(jax.random.PRNGKey(0), cfgL)
+    lay = {k: (jax.random.normal(jax.random.PRNGKey(3), v.shape) * 0.05
+               if k.startswith("lora") and k.endswith("_B") else v)
+           for k, v in p["layers"].items()}
+    p = dict(p)
+    p["layers"] = lay
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, SIZE, SIZE, 3))
+
+    runtime = dinov2.apply(p, x, cfgL)
+    folded_tree = dinov2.merge_lora(p, cfgL.lora_alpha / cfgL.lora_rank)
+    assert not any(k.startswith("lora") for k in folded_tree["layers"])
+    folded = dinov2.apply(folded_tree, x, VIT)  # plain config, no lora
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(runtime),
+                               rtol=2e-4, atol=2e-5)
+    # The folded FILTERED graph runs (this is the deployment graph; it is
+    # not compared elementwise against the runtime-adapter filter because
+    # the keep-set is discrete — float-rounding differences between the
+    # two formulations can flip near-tie importance rankings, which is
+    # why δ grids measure the folded graph directly)
+    fo_f = dinov2.apply(folded_tree, x, VIT, filter_layer=1,
+                        filter_keep=0.5)
+    assert fo_f.shape == folded.shape
+    assert bool(jnp.all(jnp.isfinite(fo_f)))
+    # merge is a no-op on adapter-free trees (same object back)
+    assert dinov2.merge_lora(folded_tree, 1.0) is folded_tree
+
+
 # ------------------------------------------------------------ provenance ----
 def test_token_filter_spec_roundtrip():
     for spec in ("2:0.35", "2:0.25", "1:0.5,3:0.35,5:0.25", "2:0.25@c0.5",
@@ -290,6 +325,38 @@ def test_filter_stamp_warning_and_refusal(tmp_path, capsys, monkeypatch):
     monkeypatch.setenv("CAIM_REQUIRE_FILTER_STAMP", "1")
     with pytest.raises(ValueError, match="recipe-conditional"):
         eng._check(npz_meta(z_un), str(unstamped))
+
+
+def test_api_auto_fold_on_filter_engine():
+    """api._maybe_merge_adapters folds stamped adapter checkpoints for
+    filter engines and leaves exact engines (and unstamped trees)
+    untouched."""
+    from cognitive_aim_tpu.api import CognitiveAimInference
+
+    cfgL = dataclasses.replace(
+        VIT, use_lora=True, lora_rank=4, lora_alpha=4,
+        lora_targets=("attn_out",))
+    bb = dinov2.init(jax.random.PRNGKey(0), cfgL)
+    incoming = {"backbone": bb}
+    meta = {"train_filter": "2:0.35", "adapter_rank": "4",
+            "adapter_alpha": "4", "adapter_targets": "attn_out"}
+
+    class Engine:
+        _fold = CognitiveAimInference._maybe_merge_adapters
+
+    eng = Engine()
+    eng.arch = ModelArchConfig(token_filter_layer=2, token_filter_keep=0.35)
+    folded = eng._fold(incoming, meta)
+    assert not any(k.startswith("lora")
+                   for k in folded["backbone"]["layers"])
+
+    eng_exact = Engine()
+    eng_exact.arch = ModelArchConfig()
+    untouched = eng_exact._fold(incoming, meta)
+    assert "lora_A" in untouched["backbone"]["layers"]
+
+    # stamped rank missing -> no fold even on a filter engine
+    assert "lora_A" in eng._fold(incoming, {})["backbone"]["layers"]
 
 
 def test_trainer_stamps_filter_checkpoints(tmp_path):
