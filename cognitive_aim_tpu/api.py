@@ -580,7 +580,8 @@ def unflatten_npz(npz) -> Dict:
     filter_and_merge matches by path). '__meta__/*' provenance entries
     (see npz_meta) are not parameters and are skipped."""
     tree: Dict = {}
-    for key in npz.files:
+    keys = npz.files if hasattr(npz, "files") else npz.keys()
+    for key in keys:
         if key.startswith("__meta__/"):
             continue
         parts = key.split("/")

@@ -152,6 +152,10 @@ def main():
     ap.add_argument("--layers", type=int, default=0,
                     help="override backbone depth (0 = full ViT-B); with "
                          "--tiny also shrinks width for CPU smoke tests")
+    ap.add_argument("--backbone", type=str, default="base",
+                    choices=["base", "large"],
+                    help="'large' measures the ViT-L path (checkpoints "
+                         "carry pretrain_procedural's _L suffix)")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--ckpt-dir", type=str, default="/tmp/delta_sweep_ckpts",
                     help="save each cell's trained params here; with "
@@ -211,13 +215,15 @@ def main():
     if tf_kw:
         tf_kw["token_filter_train"] = True  # keep the filter ON in train
     arch = ModelArchConfig(num_iterations=6, image_size=args.image_size,
-                           freeze_backbone=False, use_lora=False, **tf_kw)
+                           freeze_backbone=False, use_lora=False,
+                           backbone_size=args.backbone, **tf_kw)
     model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
     alt_model = None
     if tf_kw and args.train_filter_mode == "alternate":
         alt_arch = ModelArchConfig(num_iterations=6,
                                    image_size=args.image_size,
-                                   freeze_backbone=False, use_lora=False)
+                                   freeze_backbone=False, use_lora=False,
+                                   backbone_size=args.backbone)
         alt_model = CognitiveAimModel(alt_arch, attn_impl="pallas_packed",
                                       vit_cfg=vit)
     trainer = None
@@ -236,7 +242,8 @@ def main():
     eval_size = args.eval_size or args.image_size
     f32_model = CognitiveAimModel(
         ModelArchConfig(num_iterations=6, image_size=eval_size,
-                        freeze_backbone=False, use_lora=False),
+                        freeze_backbone=False, use_lora=False,
+                        backbone_size=args.backbone),
         policy=policy_from_name("f32"), attn_impl="xla", vit_cfg=vit)
     # Adapter mode measures the DEPLOYMENT graph: the trained adapters are
     # folded into the dense weights (merge_lora_params — zero runtime
@@ -249,6 +256,7 @@ def main():
     for spec in filter_specs:
         va = ModelArchConfig(num_iterations=6, image_size=eval_size,
                              freeze_backbone=False, use_lora=False,
+                             backbone_size=args.backbone,
                              **parse_token_filter(spec))
         variants[spec] = CognitiveAimModel(
             va, policy=policy_from_name("int8"), attn_impl="pallas_packed",
@@ -395,6 +403,8 @@ def main():
             tf_tag += "_alt"
         if args.train_guided:
             tf_tag += "_g"
+        if args.backbone == "large":
+            tf_tag += "_L"  # pretrain_procedural's bb_tag suffix
         # image size in the name: a 224-trained and a 518-trained cell are
         # different experiments (trained-at-224 weights evaluated at 518
         # have ~30% gt AbsRel — the resolution shift, not the filter)

@@ -57,6 +57,11 @@ def main():
                     help="cache generated scenes here (~10 min/2k @518²)")
     ap.add_argument("--layers", type=int, default=0,
                     help="override backbone depth (0 = full ViT-B)")
+    ap.add_argument("--backbone", type=str, default="base",
+                    choices=["base", "large"],
+                    help="'large' pretrains the ViT-L path (checkpoint "
+                         "name gains a _L suffix; δ grids pass the same "
+                         "--backbone to delta_sweep)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny backbone for CPU smoke tests")
     ap.add_argument("--guided", action="store_true",
@@ -161,8 +166,10 @@ def main():
             # adapter mode replaces the alternation (the exact path is
             # frozen, so only filtered steps carry gradient signal)
             tf_tag = tf_tag.replace("_alt", f"_ad{args.adapter_rank}")
-    out = os.path.join(args.ckpt_dir,
-                       f"s{args.seed}_{law}_{args.steps}_i{S}{tf_tag}.npz")
+    bb_tag = "_L" if args.backbone == "large" else ""
+    out = os.path.join(
+        args.ckpt_dir,
+        f"s{args.seed}_{law}_{args.steps}_i{S}{tf_tag}{bb_tag}.npz")
 
     # ------------------------------------------------------------- data ----
     cache = os.path.join(args.data_cache,
@@ -215,15 +222,18 @@ def main():
             use_lora=True, lora_rank=args.adapter_rank,
             lora_alpha=args.adapter_alpha or args.adapter_rank,
             lora_targets=tuple(args.adapter_targets.split(",")))
+    # lora_kw overrides use_lora=True in adapter mode; plain runs stay off
     arch = ModelArchConfig(num_iterations=6, image_size=S,
-                           freeze_backbone=False, use_lora=False,
-                           **{**tf_kw, **lora_kw})
+                           freeze_backbone=False,
+                           backbone_size=args.backbone,
+                           **{"use_lora": False, **tf_kw, **lora_kw})
     model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
     alt_model = None
     if tf_kw and not args.adapter_rank:
         alt_model = CognitiveAimModel(
             ModelArchConfig(num_iterations=6, image_size=S,
-                            freeze_backbone=False, use_lora=False),
+                            freeze_backbone=False, use_lora=False,
+                            backbone_size=args.backbone),
             attn_impl="pallas_packed", vit_cfg=vit)
     base_flat = None
     if args.init_from:
