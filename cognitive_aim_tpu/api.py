@@ -164,16 +164,25 @@ class CognitiveAimInference:
         from cognitive_aim_tpu.models.config import token_filter_spec
         from cognitive_aim_tpu.nn import dinov2 as _dv
 
-        bb = incoming.get("backbone", {})
+        filtered = bool(token_filter_spec(self.arch))
+        out = dict(incoming)
+        fp = out.pop("filterpath", None)
+        if fp and filtered:
+            # sandwich-v2 head deltas: the filtered path serves heads/
+            # streams trained against filtered feature statistics; the
+            # exact path (filterpath stripped) keeps the originals
+            out.update(fp)
+            print(f"Applied filterpath overlay ({len(fp)} subtrees: "
+                  f"path-gated sandwich head deltas)")
+        bb = out.get("backbone", {})
         has_lora = any(str(k).startswith("lora")
                        for k in bb.get("layers", {}))
-        if not has_lora or not token_filter_spec(self.arch):
-            return incoming
+        if not has_lora or not filtered:
+            return out
         rank = int(meta.get("adapter_rank", "0") or 0)
         alpha = int(meta.get("adapter_alpha", str(rank)) or rank)
         if rank <= 0:
-            return incoming
-        out = dict(incoming)
+            return out
         out["backbone"] = _dv.merge_lora(bb, alpha / rank)
         print(f"Folded rank-{rank} filter adapters into backbone weights "
               f"(targets {meta.get('adapter_targets', '?')})")

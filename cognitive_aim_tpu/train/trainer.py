@@ -93,6 +93,15 @@ class TrainConfig:
     # adapter-off exact path — stay bit-identical to the originals
     # (docs/PERF.md round-5 certification).
     train_only_lora: bool = False
+    # Sandwich v2: with train_only_lora, ALSO train every non-backbone
+    # tensor (streams/fusion/heads/curiosity/exif). The trained copies are
+    # shipped as a path-gated `filterpath/` overlay next to the untouched
+    # originals (pretrain_procedural --adapter-heads), so the exact path
+    # still serves the original weights bit-identically while the filtered
+    # path gets heads adapted to filtered feature statistics — the part a
+    # backbone-only LoRA cannot reach (round-5: backbone-only rescue
+    # plateaus at 3.5-5.3% worst gt-gap; docs/PERF.md).
+    sandwich_heads: bool = False
     # Pipeline-parallel training (GPipe): >1 shards the backbone layer
     # stack over a `pipe` mesh axis and differentiates straight through
     # the schedule (parallel/pipeline.py pipelined_scan — ppermute's
@@ -216,6 +225,11 @@ class Trainer:
                     names = [str(getattr(k, "key", getattr(k, "idx", k)))
                              for k in path]
                     if any(n.startswith("lora") for n in names):
+                        return "train"
+                    if cfg.sandwich_heads and names and names[0] != "backbone":
+                        # v2: non-backbone tensors train too; they ship as
+                        # a path-gated filterpath/ overlay, never touching
+                        # the exact path's originals
                         return "train"
                     return "freeze"
 

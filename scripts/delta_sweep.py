@@ -144,6 +144,13 @@ def main():
                          "original frozen base weights, so the reported "
                          "gt-gap is the full deployment delta vs the "
                          "original checkpoint (VERDICT r4 item 1)")
+    ap.add_argument("--adapter-heads", action="store_true",
+                    help="sandwich v2: checkpoints carry an _adh<rank> "
+                         "suffix and a filterpath/ overlay of non-backbone "
+                         "tensors; filtered variants measure the overlay "
+                         "applied + adapters folded, the exact f32 path "
+                         "keeps the original tensors (still the full "
+                         "deployment delta vs the original checkpoint)")
     ap.add_argument("--adapter-targets", type=str,
                     default="qkv,attn_out,fc1,fc2")
     ap.add_argument("--adapter-alpha", type=int, default=0,
@@ -398,7 +405,8 @@ def main():
             tf_tag = "_tf" + args.train_filter.replace(":", "-") \
                 .replace(",", "_").replace("@", "r")
         if args.adapter_rank and args.train_filter:
-            tf_tag += f"_ad{args.adapter_rank}"
+            tf_tag += ("_adh" if args.adapter_heads else "_ad") \
+                      + str(args.adapter_rank)
         elif args.train_filter_mode == "alternate" and args.train_filter:
             tf_tag += "_alt"
         if args.train_guided:
@@ -448,11 +456,15 @@ def main():
             trained = run_training(trainer, staged, args.steps)
             trained = jax.device_get(trained)
             np.savez(ckpt, **flatten_tree(trained))
+        fp_overlay = trained.pop("filterpath", None)
         p_f32 = jax.device_put(trained)
         fast_tree = trained
         if args.adapter_rank:
+            if fp_overlay is not None:
+                # sandwich-v2 head deltas ride only the filtered path
+                fast_tree = {**trained, **fp_overlay}
             fast_tree = next(iter(variants.values())).merge_lora_params(
-                trained, rank=args.adapter_rank,
+                fast_tree, rank=args.adapter_rank,
                 alpha=args.adapter_alpha or args.adapter_rank)
         p_int8 = model.prepare_params(fast_tree)
         if law in ("proc", "procg", "proca"):

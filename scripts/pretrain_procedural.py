@@ -119,6 +119,16 @@ def main():
                          "weights — the recipe cost of the full-weight "
                          "sandwich (docs/PERF.md round-4, ~1pp on the "
                          "exact path) is zero BY CONSTRUCTION. 0 = off.")
+    ap.add_argument("--adapter-heads", action="store_true",
+                    help="sandwich v2: with --adapter-rank, ALSO train the "
+                         "non-backbone tensors (streams/fusion/heads) for "
+                         "the filtered path; they are saved as a "
+                         "filterpath/ overlay subtree while the main tree "
+                         "keeps the ORIGINAL tensors, so the exact path is "
+                         "still bit-identical to --init-from. Round-5 "
+                         "measurement: backbone-only adapters plateau at "
+                         "3.5-5.3% worst gt-gap — the frozen heads can't "
+                         "absorb the filtered feature statistics.")
     ap.add_argument("--adapter-targets", type=str,
                     default="qkv,attn_out,fc1,fc2",
                     help="comma list of backbone projections that carry "
@@ -165,7 +175,8 @@ def main():
         if args.adapter_rank:
             # adapter mode replaces the alternation (the exact path is
             # frozen, so only filtered steps carry gradient signal)
-            tf_tag = tf_tag.replace("_alt", f"_ad{args.adapter_rank}")
+            ad = "adh" if args.adapter_heads else "ad"
+            tf_tag = tf_tag.replace("_alt", f"_{ad}{args.adapter_rank}")
     bb_tag = "_L" if args.backbone == "large" else ""
     out = os.path.join(
         args.ckpt_dir,
@@ -263,7 +274,8 @@ def main():
     cfg = TrainConfig(epochs=1, batch_size=B, steps_per_epoch=args.steps,
                       learning_rate=args.lr, freeze_backbone=False,
                       guided_training=args.guided,
-                      train_only_lora=bool(args.adapter_rank))
+                      train_only_lora=bool(args.adapter_rank),
+                      sandwich_heads=args.adapter_heads)
     tr = Trainer(model, params, cfg, output_dir="/tmp/pretrain_proc_out",
                  alt_model=alt_model)
 
@@ -379,6 +391,13 @@ def main():
         if args.adapter_rank and base_flat is not None:
             drift = 0.0
             for k2, v in base_flat.items():
+                if args.adapter_heads and not k2.startswith("backbone/"):
+                    # v2: trained non-backbone tensors ship as a
+                    # path-gated overlay; the main tree keeps ORIGINALS
+                    # so the exact path stays bit-identical to --init-from
+                    flat["filterpath/" + k2] = flat[k2]
+                    flat[k2] = v
+                    continue
                 drift = max(drift, float(np.max(np.abs(
                     np.asarray(flat[k2], np.float64)
                     - np.asarray(v, np.float64)))))
@@ -387,6 +406,8 @@ def main():
                       f"during adapter training — restoring originals",
                       flush=True)
             for k2, v in base_flat.items():
+                if args.adapter_heads and not k2.startswith("backbone/"):
+                    continue
                 flat[k2] = v
         if args.train_filter:
             # provenance stamp (api.py _check_filter_stamp): these weights
@@ -400,6 +421,8 @@ def main():
                     str(args.adapter_alpha or args.adapter_rank))
                 flat["__meta__/adapter_targets"] = np.asarray(
                     args.adapter_targets)
+                if args.adapter_heads:
+                    flat["__meta__/adapter_heads"] = np.asarray("1")
         return flat
 
     # ------------------------------------------------------------ train ----

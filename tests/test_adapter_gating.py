@@ -384,3 +384,85 @@ def test_trainer_stamps_filter_checkpoints(tmp_path):
     tr2.save_checkpoint(is_best=False)
     assert "train_filter" not in npz_meta(np.load(
         tmp_path / "plain" / "checkpoint.npz"))
+
+
+def test_sandwich_heads_trains_heads_frozen_backbone(sandwich_cell):
+    """Sandwich v2 (round-5): train_only_lora + sandwich_heads moves the
+    lora tensors AND the non-backbone tensors while every non-lora
+    BACKBONE tensor stays bit-identical. (The trained non-backbone copies
+    ship as a filterpath/ overlay; pretrain_procedural --adapter-heads.)"""
+    base_params, norm, target, batch = sandwich_cell
+
+    ad_model = CognitiveAimModel(_adapter_arch(), policy=STRICT_F32,
+                                 vit_cfg=VIT)
+    fresh = ad_model.init(jax.random.PRNGKey(7))
+    params = dict(base_params)
+    params["backbone"] = dict(base_params["backbone"])
+    lay = dict(base_params["backbone"]["layers"])
+    for k, v in fresh["backbone"]["layers"].items():
+        if k.startswith("lora") and k not in lay:
+            lay[k] = v
+    params["backbone"]["layers"] = lay
+
+    tr = Trainer(ad_model, params,
+                 TrainConfig(epochs=1, batch_size=8, steps_per_epoch=30,
+                             learning_rate=1e-2, freeze_backbone=False,
+                             weight_decay=0.0, train_only_lora=True,
+                             sandwich_heads=True),
+                 output_dir="/tmp/adapter_guard_adh")
+    for i in range(30):
+        tr.train_step(batch(i), jax.random.PRNGKey(i))
+    after = jax.device_get(tr.params)
+
+    def flat(t, prefix=""):
+        out = {}
+        for k, v in t.items():
+            key = f"{prefix}/{k}" if prefix else str(k)
+            if isinstance(v, dict):
+                out.update(flat(v, key))
+            elif isinstance(v, list):
+                out.update(flat({str(j): e for j, e in enumerate(v)}, key))
+            else:
+                out[key] = np.asarray(v)
+        return out
+
+    fb, fa = flat(base_params), flat(after)
+    heads_moved = lora_moved = 0
+    for k, v in fa.items():
+        if "lora" in k:
+            lora_moved += int(k.endswith("_B")
+                              and float(np.max(np.abs(v))) > 0)
+            continue
+        if k.startswith("backbone/"):
+            assert np.array_equal(fb[k], fa[k]), f"backbone tensor {k} moved"
+        else:
+            heads_moved += int(not np.array_equal(fb[k], fa[k]))
+    assert lora_moved > 0, "no adapter tensor trained"
+    assert heads_moved > 0, "sandwich_heads trained no non-backbone tensor"
+
+
+def test_filterpath_overlay_gating():
+    """api._maybe_merge_adapters applies the sandwich-v2 filterpath/
+    overlay on filter engines and strips it (serving the ORIGINAL
+    tensors) on exact engines."""
+    from cognitive_aim_tpu.api import CognitiveAimInference
+
+    orig_fusion = {"w": np.ones((4, 4), np.float32)}
+    trained_fusion = {"w": np.full((4, 4), 2.0, np.float32)}
+    incoming = {"backbone": {"layers": {}}, "fusion": orig_fusion,
+                "filterpath": {"fusion": trained_fusion}}
+
+    class Engine:
+        _fold = CognitiveAimInference._maybe_merge_adapters
+
+    eng = Engine()
+    eng.arch = ModelArchConfig(token_filter_layer=2, token_filter_keep=0.35)
+    out = eng._fold(dict(incoming), {})
+    assert "filterpath" not in out
+    assert np.array_equal(out["fusion"]["w"], trained_fusion["w"])
+
+    eng_exact = Engine()
+    eng_exact.arch = ModelArchConfig()
+    out2 = eng_exact._fold(dict(incoming), {})
+    assert "filterpath" not in out2
+    assert np.array_equal(out2["fusion"]["w"], orig_fusion["w"])
