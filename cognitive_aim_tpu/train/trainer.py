@@ -102,6 +102,10 @@ class TrainConfig:
     # backbone-only LoRA cannot reach (round-5: backbone-only rescue
     # plateaus at 3.5-5.3% worst gt-gap; docs/PERF.md).
     sandwich_heads: bool = False
+    # separate lr for the sandwich_heads ("train_heads") group; 0 = use
+    # the main learning_rate/schedule. The adapters (zero-init B) need a
+    # hot lr while the pretrained heads need a gentle one.
+    heads_lr: float = 0.0
     # Pipeline-parallel training (GPipe): >1 shards the backbone layer
     # stack over a `pipe` mesh axis and differentiates straight through
     # the schedule (parallel/pipeline.py pipelined_scan — ppermute's
@@ -230,13 +234,26 @@ class Trainer:
                         # v2: non-backbone tensors train too; they ship as
                         # a path-gated filterpath/ overlay, never touching
                         # the exact path's originals
-                        return "train"
+                        return "train_heads"
                     return "freeze"
 
                 return jax.tree_util.tree_map_with_path(label, p)
 
+            # Split lr: adapters start at zero (B=0) and need a hot lr to
+            # move; the overlay heads start at well-tuned values and a hot
+            # lr destroys them (round-5: uniform 1e-3 left the filtered
+            # path WORSE than backbone-only adapters). heads_lr=0 means
+            # same as the main lr.
+            heads_tx = tx
+            if cfg.sandwich_heads and cfg.heads_lr > 0.0:
+                heads_tx = optax.chain(
+                    optax.clip_by_global_norm(cfg.grad_clip),
+                    optax.adamw(cfg.heads_lr, weight_decay=cfg.weight_decay,
+                                b1=0.9, b2=0.999, eps=1e-8),
+                )
             tx = optax.multi_transform(
-                {"train": tx, "freeze": optax.set_to_zero()},
+                {"train": tx, "train_heads": heads_tx,
+                 "freeze": optax.set_to_zero()},
                 param_labels=_labels_lora,
             )
         elif cfg.freeze_backbone:

@@ -155,6 +155,14 @@ def main():
                     default="qkv,attn_out,fc1,fc2")
     ap.add_argument("--adapter-alpha", type=int, default=0,
                     help="0 = rank (scaling 1), matching the trainer")
+    ap.add_argument("--exact-from", type=str, default="",
+                    help="load the f32 EXACT reference params from this "
+                         "checkpoint instead of the cell's own: measures "
+                         "the ASSEMBLED deployment delta of a full-weight "
+                         "sandwich (sandwiched+filtered vs ORIGINAL exact, "
+                         "the number VERDICT r4 said was never put "
+                         "together). Point it at the original pretrain "
+                         "npz the sandwich started from.")
     ap.add_argument("--out", type=str, default="/tmp/delta_sweep.json")
     ap.add_argument("--layers", type=int, default=0,
                     help="override backbone depth (0 = full ViT-B); with "
@@ -457,7 +465,13 @@ def main():
             trained = jax.device_get(trained)
             np.savez(ckpt, **flatten_tree(trained))
         fp_overlay = trained.pop("filterpath", None)
-        p_f32 = jax.device_put(trained)
+        if args.exact_from:
+            exact_tree = unflatten_npz(np.load(args.exact_from))
+            exact_tree.pop("filterpath", None)
+            p_f32 = jax.device_put(exact_tree)
+            del exact_tree
+        else:
+            p_f32 = jax.device_put(trained)
         fast_tree = trained
         if args.adapter_rank:
             if fp_overlay is not None:

@@ -129,6 +129,11 @@ def main():
                          "measurement: backbone-only adapters plateau at "
                          "3.5-5.3% worst gt-gap — the frozen heads can't "
                          "absorb the filtered feature statistics.")
+    ap.add_argument("--adapter-heads-lr", type=float, default=0.0,
+                    help="with --adapter-heads: separate (gentler) lr for "
+                         "the non-backbone group; 0 = same as --lr. The "
+                         "zero-init adapters need a hot lr, the "
+                         "pretrained heads a gentle one.")
     ap.add_argument("--adapter-targets", type=str,
                     default="qkv,attn_out,fc1,fc2",
                     help="comma list of backbone projections that carry "
@@ -275,7 +280,8 @@ def main():
                       learning_rate=args.lr, freeze_backbone=False,
                       guided_training=args.guided,
                       train_only_lora=bool(args.adapter_rank),
-                      sandwich_heads=args.adapter_heads)
+                      sandwich_heads=args.adapter_heads,
+                      heads_lr=args.adapter_heads_lr)
     tr = Trainer(model, params, cfg, output_dir="/tmp/pretrain_proc_out",
                  alt_model=alt_model)
 
