@@ -417,6 +417,8 @@ def main():
                       + str(args.adapter_rank)
         elif args.train_filter_mode == "alternate" and args.train_filter:
             tf_tag += "_alt"
+        elif args.train_filter_mode == "always" and args.train_filter:
+            tf_tag += "_fa"  # pretrain_procedural --filter-always tag
         if args.train_guided:
             tf_tag += "_g"
         if args.backbone == "large":

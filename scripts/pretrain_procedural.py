@@ -140,11 +140,18 @@ def main():
                          "adapters (subset of qkv,attn_out,fc1,fc2)")
     ap.add_argument("--adapter-alpha", type=int, default=0,
                     help="LoRA alpha (0 = rank, i.e. scaling 1)")
+    ap.add_argument("--filter-always", action="store_true",
+                    help="full-weight finetune with the filter on EVERY "
+                         "step (no alternation): the fast-replica recipe "
+                         "for the TWO-checkpoint deployment, where the "
+                         "finetuned weights never serve the exact path "
+                         "(round-5, docs/PERF.md assembled-delta "
+                         "section). Checkpoint tag _fa replaces _alt.")
     args = ap.parse_args()
     if args.filter_every < 2:
         ap.error("--filter-every must be >= 2 (1 would never run the "
-                 "exact path; use delta_sweep --train-filter-mode always "
-                 "for the always-on regime, measured worse in round 3)")
+                 "exact path; use --filter-always for the always-on "
+                 "regime of the two-checkpoint deployment)")
     if args.aimed and args.guided:
         ap.error("--aimed and --guided are mutually exclusive "
                  "(aimed is guided-native by construction)")
@@ -182,6 +189,8 @@ def main():
             # frozen, so only filtered steps carry gradient signal)
             ad = "adh" if args.adapter_heads else "ad"
             tf_tag = tf_tag.replace("_alt", f"_{ad}{args.adapter_rank}")
+        elif args.filter_always:
+            tf_tag = tf_tag.replace("_alt", "_fa")
     bb_tag = "_L" if args.backbone == "large" else ""
     out = os.path.join(
         args.ckpt_dir,
@@ -245,7 +254,7 @@ def main():
                            **{"use_lora": False, **tf_kw, **lora_kw})
     model = CognitiveAimModel(arch, attn_impl="pallas_packed", vit_cfg=vit)
     alt_model = None
-    if tf_kw and not args.adapter_rank:
+    if tf_kw and not args.adapter_rank and not args.filter_always:
         alt_model = CognitiveAimModel(
             ModelArchConfig(num_iterations=6, image_size=S,
                             freeze_backbone=False, use_lora=False,
