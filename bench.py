@@ -280,8 +280,10 @@ def main():
             " deployment delta — sandwiched+filtered vs ORIGINAL exact,"
             " the full accounting VERDICT r4 asked for — measures worst"
             " per-instruction gt-AbsRel worsening +0.93% (invariant"
-            " task, alt-1200) and +0.64% (aimed task, alt-600) on the"
-            " concentrated-regime cells, inside the 1% budget"
+            " task, alt-1200, seed 0) and +0.64% (aimed task, alt-600,"
+            " seed 0), inside the 1% budget; seed 1 is monotonically"
+            " improving with sandwich steps but still +1.20% at 1800,"
+            " so worst-case-over-seeds is NOT yet <=1%"
             " (docs/PERF.md round-5 assembled-delta section; per-seed"
             " grids in docs/results/delta_*_assembled.json). On raw or"
             " single-checkpoint un-sandwiched weights the guided filter"
